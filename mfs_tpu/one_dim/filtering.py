@@ -19,8 +19,10 @@ TPU-first deltas from the reference:
   ``mfs_tpu.sde.transitions``): no vmap pyramids in the hot loop.
 - ``measurement_cond_pdf(y, x)`` must broadcast elementwise over ``x``
   (all jnp-composed densities do).
-- The per-step eigendecompositions run on the in-repo batched Jacobi
-  solver (differentiable, true f64 on TPU).
+- The per-step eigendecompositions default to XLA's batched eigh
+  (measured accurate to ~1e-14 in f64 on TPU v5e); the in-repo batched
+  Jacobi solver (``eigh_impl="jacobi"``) is an independent
+  cross-check implementation with a hand-written JVP.
 
 Everything is differentiable; the returned ``nell`` is the negative log
 likelihood used for gradient-based parameter estimation.
@@ -57,7 +59,7 @@ def moment_filter_rms(
     rms0: Array,
     ys: Array,
     stable: bool = False,
-    eigh_impl: str = "jacobi",
+    eigh_impl: str = "xla",
 ) -> Tuple[Array, Array]:
     r"""Moment filter with raw-moment representation.
 
@@ -114,7 +116,7 @@ def moment_filter_cms(
     mean0: FloatScalar,
     ys: Array,
     stable: bool = False,
-    eigh_impl: str = "jacobi",
+    eigh_impl: str = "xla",
 ) -> Tuple[Array, Array, Array]:
     r"""Moment filter with central-moment representation.
 
@@ -166,7 +168,7 @@ def moment_filter_scms(
     scale0: FloatScalar,
     ys: Array,
     stable: bool = False,
-    eigh_impl: str = "jacobi",
+    eigh_impl: str = "xla",
 ) -> Tuple[Array, Array, Array, Array]:
     r"""Moment filter with scaled-central-moment representation.
 

@@ -52,7 +52,7 @@ def moment_quadrature(
     scale: FloatScalar = 1.0,
     sort_nodes: bool = False,
     stable: bool = False,
-    eigh_impl: str = "jacobi",
+    eigh_impl: str = "xla",
 ) -> Tuple[Array, Array]:
     """Moment-matched Gauss quadrature from a (batched) moment vector.
 

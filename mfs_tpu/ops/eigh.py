@@ -68,11 +68,26 @@ def _jacobi_eigh(a: Array, sweeps: int) -> Tuple[Array, Array]:
     n = a.shape[-1]
     dtype = a.dtype
     eye = jnp.eye(n, dtype=dtype)
-    batch_shape = a.shape[:-2]
     v = jnp.broadcast_to(eye, a.shape)
     schedule = _round_robin_schedule(n)
 
-    def apply_round(a, v, ps, qs):
+    # Static one-hot bases per round: Q = I + Σ_k [ (c_k - 1)(E_pp + E_qq)
+    # + s_k (E_pq - E_qp) ].  Building Q with small einsums keeps the
+    # whole update on the MXU/VPU — dynamic scatters (``.at[...].set``)
+    # are an order-of-magnitude slower on TPU.
+    def _round_consts(ps, qs):
+        m = len(ps)
+        diag = np.zeros((m, n, n))
+        skew = np.zeros((m, n, n))
+        diag[np.arange(m), ps, ps] = 1.0
+        diag[np.arange(m), qs, qs] = 1.0
+        skew[np.arange(m), ps, qs] = 1.0
+        skew[np.arange(m), qs, ps] = -1.0
+        return jnp.asarray(diag, dtype), jnp.asarray(skew, dtype)
+
+    consts = [_round_consts(ps, qs) for ps, qs in schedule]
+
+    def apply_round(a, v, ps, qs, diag_basis, skew_basis):
         app = a[..., ps, ps]
         aqq = a[..., qs, qs]
         apq = a[..., ps, qs]
@@ -85,21 +100,21 @@ def _jacobi_eigh(a: Array, sweeps: int) -> Tuple[Array, Array]:
         t = jnp.where(small, 0.0, t)
         c = 1.0 / jnp.sqrt(1.0 + t * t)
         s = t * c
-        # Assemble the round's orthogonal matrix Q (disjoint pairs).
-        q = jnp.broadcast_to(eye, a.shape)
-        q = q.at[..., ps, ps].set(c)
-        q = q.at[..., qs, qs].set(c)
-        q = q.at[..., ps, qs].set(s)
-        q = q.at[..., qs, ps].set(-s)
-        a = jnp.einsum("...ji,...jk,...kl->...il", q, a, q)
+        q = (
+            eye
+            + jnp.einsum("...m,mij->...ij", c - 1.0, diag_basis)
+            + jnp.einsum("...m,mij->...ij", s, skew_basis)
+        )
+        aq = jnp.einsum("...jk,...kl->...jl", a, q)
+        a = jnp.einsum("...ji,...jl->...il", q, aq)
         # Re-symmetrise to kill rounding drift.
         a = 0.5 * (a + jnp.swapaxes(a, -1, -2))
         v = jnp.einsum("...ij,...jk->...ik", v, q)
         return a, v
 
     for _ in range(sweeps):
-        for ps, qs in schedule:
-            a, v = apply_round(a, v, ps, qs)
+        for (ps, qs), (diag_basis, skew_basis) in zip(schedule, consts):
+            a, v = apply_round(a, v, ps, qs, diag_basis, skew_basis)
 
     vals = jnp.diagonal(a, axis1=-2, axis2=-1)
     return vals, v
