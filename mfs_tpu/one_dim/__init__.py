@@ -19,3 +19,11 @@ from mfs_tpu.one_dim.filtering import (
     moment_filter_cms,
     moment_filter_scms,
 )
+from mfs_tpu.one_dim.pdf_approximations import (
+    gram_charlier,
+    edgeworth,
+    legendre_poly_expansion,
+    truncated_cumulant_generating_function,
+    saddle_point,
+    inverse_fourier,
+)

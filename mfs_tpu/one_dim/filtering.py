@@ -19,10 +19,12 @@ TPU-first deltas from the reference:
   ``mfs_tpu.sde.transitions``): no vmap pyramids in the hot loop.
 - ``measurement_cond_pdf(y, x)`` must broadcast elementwise over ``x``
   (all jnp-composed densities do).
-- The per-step eigendecompositions default to XLA's batched eigh
-  (measured accurate to ~1e-14 in f64 on TPU v5e); the in-repo batched
-  Jacobi solver (``eigh_impl="jacobi"``) is an independent
-  cross-check implementation with a hand-written JVP.
+- The per-step eigendecompositions default to ``eigh_impl="refined"``:
+  XLA's fast batched eigh (only ~f32-accurate internally on TPU,
+  measured residual ~1e-7 in f64 on v5e) followed by true-f64
+  cyclic-Jacobi polish sweeps built from elementwise ops and matmuls
+  (which TPU emulates at ~1e-15).  ``"jacobi"`` is the pure in-repo
+  solver, ``"xla"`` the raw XLA one.
 
 Everything is differentiable; the returned ``nell`` is the negative log
 likelihood used for gradient-based parameter estimation.
@@ -59,7 +61,7 @@ def moment_filter_rms(
     rms0: Array,
     ys: Array,
     stable: bool = False,
-    eigh_impl: str = "xla",
+    eigh_impl: str = "refined",
 ) -> Tuple[Array, Array]:
     r"""Moment filter with raw-moment representation.
 
@@ -76,7 +78,7 @@ def moment_filter_rms(
         Measurements; trailing axes must broadcast with the batch.
     stable : bool
         Use the LDL modified-Cholesky completion inside the quadrature.
-    eigh_impl : {"jacobi", "xla"}
+    eigh_impl : {"refined", "xla", "jacobi"}
 
     Returns
     -------
@@ -116,7 +118,7 @@ def moment_filter_cms(
     mean0: FloatScalar,
     ys: Array,
     stable: bool = False,
-    eigh_impl: str = "xla",
+    eigh_impl: str = "refined",
 ) -> Tuple[Array, Array, Array]:
     r"""Moment filter with central-moment representation.
 
@@ -168,7 +170,7 @@ def moment_filter_scms(
     scale0: FloatScalar,
     ys: Array,
     stable: bool = False,
-    eigh_impl: str = "xla",
+    eigh_impl: str = "refined",
 ) -> Tuple[Array, Array, Array, Array]:
     r"""Moment filter with scaled-central-moment representation.
 

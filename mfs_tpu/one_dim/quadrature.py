@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mfs_tpu.ops.eigh import eigh_batched, eigh_xla
+from mfs_tpu.ops.eigh import eigh_batched, eigh_refined, eigh_xla
 from mfs_tpu.typings import Array, FloatScalar
 from mfs_tpu.utils.linalg import ldl_chol
 
@@ -52,7 +52,7 @@ def moment_quadrature(
     scale: FloatScalar = 1.0,
     sort_nodes: bool = False,
     stable: bool = False,
-    eigh_impl: str = "xla",
+    eigh_impl: str = "refined",
 ) -> Tuple[Array, Array]:
     """Moment-matched Gauss quadrature from a (batched) moment vector.
 
@@ -72,7 +72,7 @@ def moment_quadrature(
     stable : bool
         Replace the Cholesky factorisation by the LDL-based modified
         Cholesky (PD completion) for ill-conditioned moment matrices.
-    eigh_impl : {"jacobi", "xla"}
+    eigh_impl : {"refined", "xla", "jacobi"}
         Eigensolver backend.
 
     Returns
@@ -98,8 +98,10 @@ def moment_quadrature(
 
     if eigh_impl == "jacobi":
         vals, vecs = eigh_batched(K, sort=sort_nodes)
-    else:
+    elif eigh_impl == "xla":
         vals, vecs = eigh_xla(K, sort=sort_nodes)
+    else:
+        vals, vecs = eigh_refined(K, sort=sort_nodes)
 
     weights = vecs[..., 0, :] ** 2
     mean = jnp.asarray(mean)

@@ -1,1 +1,1 @@
-from mfs_tpu.ops.eigh import eigh_batched, eigh_xla
+from mfs_tpu.ops.eigh import eigh_batched, eigh_xla, eigh_refined

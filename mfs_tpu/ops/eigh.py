@@ -64,35 +64,65 @@ def _default_sweeps(n: int) -> int:
     return 12
 
 
+@functools.lru_cache(maxsize=None)
+def _stacked_round_consts(n: int):
+    """Stacked one-hot selector/assembler tensors for all rounds.
+
+    Rounds of the tournament schedule are padded to a common pair count
+    so a single ``fori_loop`` body (traced once — the unrolled variant
+    compiled one kernel per round and took minutes to build) can index
+    them dynamically.  Padded slots have all-zero bases, which makes
+    their rotation exactly the identity.
+
+    Returns (Ppp, Pqq, Ppq, D, S) each of shape (rounds, m, n, n).
+    """
+    schedule = _round_robin_schedule(n)
+    m_max = max(len(ps) for ps, _ in schedule)
+    r = len(schedule)
+    ppp = np.zeros((r, m_max, n, n))
+    pqq = np.zeros((r, m_max, n, n))
+    ppq = np.zeros((r, m_max, n, n))
+    diag = np.zeros((r, m_max, n, n))
+    skew = np.zeros((r, m_max, n, n))
+    for i, (ps, qs) in enumerate(schedule):
+        k = np.arange(len(ps))
+        ppp[i, k, ps, ps] = 1.0
+        pqq[i, k, qs, qs] = 1.0
+        ppq[i, k, ps, qs] = 1.0
+        diag[i, k, ps, ps] = 1.0
+        diag[i, k, qs, qs] = 1.0
+        skew[i, k, ps, qs] = 1.0
+        skew[i, k, qs, ps] = -1.0
+    return ppp, pqq, ppq, diag, skew
+
+
 def _jacobi_eigh(a: Array, sweeps: int) -> Tuple[Array, Array]:
     n = a.shape[-1]
     dtype = a.dtype
     eye = jnp.eye(n, dtype=dtype)
     v = jnp.broadcast_to(eye, a.shape)
-    schedule = _round_robin_schedule(n)
+    ppp, pqq, ppq, diag_b, skew_b = (
+        jnp.asarray(t, dtype) for t in _stacked_round_consts(n)
+    )
+    rounds = ppp.shape[0]
 
-    # Static one-hot bases per round: Q = I + Σ_k [ (c_k - 1)(E_pp + E_qq)
-    # + s_k (E_pq - E_qp) ].  Building Q with small einsums keeps the
-    # whole update on the MXU/VPU — dynamic scatters (``.at[...].set``)
-    # are an order-of-magnitude slower on TPU.
-    def _round_consts(ps, qs):
-        m = len(ps)
-        diag = np.zeros((m, n, n))
-        skew = np.zeros((m, n, n))
-        diag[np.arange(m), ps, ps] = 1.0
-        diag[np.arange(m), qs, qs] = 1.0
-        skew[np.arange(m), ps, qs] = 1.0
-        skew[np.arange(m), qs, ps] = -1.0
-        return jnp.asarray(diag, dtype), jnp.asarray(skew, dtype)
-
-    consts = [_round_consts(ps, qs) for ps, qs in schedule]
-
-    def apply_round(a, v, ps, qs, diag_basis, skew_basis):
-        app = a[..., ps, ps]
-        aqq = a[..., qs, qs]
-        apq = a[..., ps, qs]
+    def body(i, carry):
+        a, v = carry
+        r = i % rounds
+        sel_pp, sel_qq, sel_pq = ppp[r], pqq[r], ppq[r]
+        app = jnp.einsum("...ij,mij->...m", a, sel_pp)
+        aqq = jnp.einsum("...ij,mij->...m", a, sel_qq)
+        apq = jnp.einsum("...ij,mij->...m", a, sel_pq)
         # Golub–Van Loan 8.4.1 rotation choice (smaller-angle root).
-        small = jnp.abs(apq) <= jnp.finfo(dtype).tiny * 1e3
+        # The skip threshold is *relative* to the local diagonal scale:
+        # rotations below f64 epsilon contribute nothing, and bounding
+        # |tau| <= 5e17 keeps tau^2 < 3e35 — important on TPU, where
+        # f64 is emulated as a double-f32 pair whose overflow threshold
+        # is the f32 range (~3.4e38); an absolute-tiny threshold lets
+        # tau^2 overflow and poison the rotation with NaNs.  Padded
+        # slots have app = aqq = apq = 0, hence c = 1, s = 0.
+        diag_scale = jnp.abs(app) + jnp.abs(aqq)
+        small = jnp.abs(apq) <= 1e-18 * diag_scale
         safe_apq = jnp.where(small, 1.0, apq)
         tau = (aqq - app) / (2.0 * safe_apq)
         t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
@@ -100,10 +130,11 @@ def _jacobi_eigh(a: Array, sweeps: int) -> Tuple[Array, Array]:
         t = jnp.where(small, 0.0, t)
         c = 1.0 / jnp.sqrt(1.0 + t * t)
         s = t * c
+        # Q = I + Σ_m [(c_m - 1)(E_pp + E_qq) + s_m (E_pq - E_qp)].
         q = (
             eye
-            + jnp.einsum("...m,mij->...ij", c - 1.0, diag_basis)
-            + jnp.einsum("...m,mij->...ij", s, skew_basis)
+            + jnp.einsum("...m,mij->...ij", c - 1.0, diag_b[r])
+            + jnp.einsum("...m,mij->...ij", s, skew_b[r])
         )
         aq = jnp.einsum("...jk,...kl->...jl", a, q)
         a = jnp.einsum("...ji,...jl->...il", q, aq)
@@ -112,10 +143,7 @@ def _jacobi_eigh(a: Array, sweeps: int) -> Tuple[Array, Array]:
         v = jnp.einsum("...ij,...jk->...ik", v, q)
         return a, v
 
-    for _ in range(sweeps):
-        for (ps, qs), (diag_basis, skew_basis) in zip(schedule, consts):
-            a, v = apply_round(a, v, ps, qs, diag_basis, skew_basis)
-
+    a, v = jax.lax.fori_loop(0, sweeps * rounds, body, (a, v))
     vals = jnp.diagonal(a, axis1=-2, axis2=-1)
     return vals, v
 
@@ -175,4 +203,61 @@ def eigh_batched(a: Array, sweeps: int = None, sort: bool = False) -> Tuple[Arra
 def eigh_xla(a: Array, sort: bool = False) -> Tuple[Array, Array]:
     """XLA's eigh with the same (vals, vecs) return convention."""
     vecs, vals = jax.lax.linalg.eigh(a, sort_eigenvalues=sort)
+    return vals, vecs
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(1,))
+def _eigh_refined_core(a: Array, polish_sweeps: int) -> Tuple[Array, Array]:
+    # Stage 1: XLA's eigh — very fast on TPU but only ~f32-grade
+    # internally (measured residual ~1e-7 in f64 on v5e).
+    vecs0, _ = jax.lax.linalg.eigh(a, sort_eigenvalues=False)
+    # Stage 1b: one Newton–Schulz iteration re-orthonormalises the
+    # approximate eigenbasis in f64 (orthogonality error squares:
+    # ~1e-7 -> ~1e-14); without this the similarity transform below is
+    # only as exact as stage 1's orthogonality.
+    eye = jnp.eye(a.shape[-1], dtype=a.dtype)
+    gram = jnp.einsum("...ki,...kj->...ij", vecs0, vecs0)
+    vecs0 = jnp.einsum("...ik,...kj->...ij", vecs0, 1.5 * eye - 0.5 * gram)
+    # Stage 2: rotate into the approximate eigenbasis with true-f64
+    # matmuls (TPU f64 emulation is exact to ~1e-15) and run a couple
+    # of cyclic-Jacobi polish sweeps — quadratic convergence takes the
+    # ~1e-7 off-diagonal mass to machine precision.
+    a1 = jnp.einsum("...ji,...jk,...kl->...il", vecs0, a, vecs0)
+    a1 = 0.5 * (a1 + jnp.swapaxes(a1, -1, -2))
+    vals, v1 = _jacobi_eigh(a1, polish_sweeps)
+    vecs = jnp.einsum("...ij,...jk->...ik", vecs0, v1)
+    return vals, vecs
+
+
+@_eigh_refined_core.defjvp
+def _eigh_refined_core_jvp(polish_sweeps, primals, tangents):
+    (a,) = primals
+    (da,) = tangents
+    vals, vecs = _eigh_refined_core(a, polish_sweeps)
+    da = 0.5 * (da + jnp.swapaxes(da, -1, -2))
+    s = jnp.einsum("...ji,...jk,...kl->...il", vecs, da, vecs)
+    dvals = jnp.diagonal(s, axis1=-2, axis2=-1)
+    gaps = vals[..., None, :] - vals[..., :, None]
+    n = a.shape[-1]
+    off = ~jnp.eye(n, dtype=bool)
+    safe = jnp.where(off, gaps, 1.0)
+    f = jnp.where(off, 1.0 / safe, 0.0)
+    dvecs = jnp.einsum("...ik,...kj->...ij", vecs, f * s)
+    return (vals, vecs), (dvals, dvecs)
+
+
+def eigh_refined(a: Array, polish_sweeps: int = 2, sort: bool = False) -> Tuple[Array, Array]:
+    """XLA eigh + true-f64 Jacobi polish — the TPU default.
+
+    Combines XLA's throughput with full f64 accuracy: the approximate
+    eigenbasis from ``lax.linalg.eigh`` nearly diagonalises the matrix;
+    ``polish_sweeps`` cyclic-Jacobi sweeps (elementwise + matmuls only,
+    true f64 under TPU emulation) finish the job.  Differentiable via
+    the standard eigh JVP.
+    """
+    vals, vecs = _eigh_refined_core(a, polish_sweeps)
+    if sort:
+        order = jnp.argsort(vals, axis=-1)
+        vals = jnp.take_along_axis(vals, order, axis=-1)
+        vecs = jnp.take_along_axis(vecs, order[..., None, :], axis=-1)
     return vals, vecs

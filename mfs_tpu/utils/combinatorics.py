@@ -53,12 +53,17 @@ def partial_bell(n: int, k: int, xs: Union[Array, Sequence[float]]) -> FloatScal
     if k > n:
         return 0.0
     # table[m][j] = B_{m, j}; entries outside j <= m <= n stay 0.
+    # B_{n,k} depends only on x_1..x_{n-k+1}; callers may provide exactly
+    # that many entries, so missing higher x's are treated as zero (they
+    # cannot contribute to the requested value).
     table = [[0.0] * (k + 1) for _ in range(n + 1)]
     table[0][0] = 1.0
     for j in range(1, k + 1):
         for m in range(j, n + 1):
             acc = 0.0
             for i in range(1, m - j + 2):
+                if i - 1 >= len(xs):
+                    break
                 prev = table[m - i][j - 1]
                 if isinstance(prev, float) and prev == 0.0:
                     continue
