@@ -2,8 +2,8 @@
 
 Workload (BASELINE.md / reference ``dardel/time_profile/mf.py:83-108``):
 the 1D Beneš SDE with Bernoulli measurements, T=100 steps, moment order
-2N-1 = 29 (N=15), TME-2 Normal-closure transitions, raw-moment mode,
-double precision.  The metric is Monte-Carlo *trials per second* for
+2N-1 = 29 (N=15), TME-2 Normal-closure transitions, 
+double precision, central-moment representation.  The metric is Monte-Carlo *trials per second* for
 the full filtering pass (compile excluded, ``block_until_ready`` timed,
 NaN trials would be visible as non-finite output and are asserted
 against).
@@ -34,7 +34,7 @@ jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp  # noqa: E402
 
 from mfs_tpu.models import benes_bernoulli  # noqa: E402
-from mfs_tpu.one_dim.filtering import moment_filter_rms  # noqa: E402
+from mfs_tpu.one_dim.filtering import moment_filter_cms  # noqa: E402
 from mfs_tpu.sde import sde_cond_moments_tme_normal  # noqa: E402
 
 N = 15
@@ -60,26 +60,31 @@ def main():
         .astype(jnp.float64)
         .T
     )  # (T, BATCH)
-    rms0 = jnp.broadcast_to(model.init_cond.rms, (BATCH, 2 * N))
+    ic = model.init_cond
+    cms0 = jnp.broadcast_to(ic.cms, (BATCH, 2 * N))
+    mean0 = ic.mean * jnp.ones(BATCH)
 
-    # ``stable=True`` = LDL PD-completion, the reference's stability
-    # lever for high moment orders (reference ``mfs/utils.py:526-538``).
-    # A small fraction of trials still diverges at N=15 — the reference
-    # counts and masks NaN runs rather than failing
-    # (``reproduce_paper_plots/plot_benes_bernoulli_errs_and_times.py:11-35``).
+    # Central mode + LDL PD-completion: the most stable N=15
+    # configuration measured on both CPU and TPU (the reference's
+    # stability levers are the central/scaled representations and the
+    # LDL completion: ``mfs/one_dim/filtering.py:92-240``,
+    # ``mfs/utils.py:526-538``).  The few remaining NaN trials are
+    # counted, as in the reference's post-processing
+    # (``plot_benes_bernoulli_errs_and_times.py:11-35``).
     filt = jax.jit(
-        lambda r0, y: moment_filter_rms(
-            trans.rms, model.measurement_cond_pdf, r0, y, stable=True
+        lambda c0, m0, y: moment_filter_cms(
+            trans.cms, trans.mean, model.measurement_cond_pdf,
+            c0, m0, y, stable=True,
         )
     )
 
     # --- batched (TPU-native) ---
-    out = filt(rms0, ys)
+    out = filt(cms0, mean0, ys)
     jax.block_until_ready(out)
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        out = filt(rms0, ys)
+        out = filt(cms0, mean0, ys)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
     finite = jnp.isfinite(out[0][-1]).all(axis=-1)
@@ -92,18 +97,18 @@ def main():
     # protocol, ``dardel/run_time_profile.sh:5-31``) ---
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        rms0_c = jax.device_put(rms0[0], cpu)
-        ys_c = jax.device_put(ys, cpu)
+        args_c = jax.device_put((cms0[0], mean0[0], ys), cpu)
         filt_cpu = jax.jit(
-            lambda r0, y: moment_filter_rms(
-                trans.rms, model.measurement_cond_pdf, r0, y, stable=True
+            lambda c0, m0, y: moment_filter_cms(
+                trans.cms, trans.mean, model.measurement_cond_pdf,
+                c0, m0, y, stable=True,
             )
         )
-        out1 = filt_cpu(rms0_c, ys_c[:, 0])
+        out1 = filt_cpu(args_c[0], args_c[1], args_c[2][:, 0])
         jax.block_until_ready(out1)
         t0 = time.perf_counter()
         for i in range(SEQ_TRIALS):
-            out1 = filt_cpu(rms0_c, ys_c[:, i])
+            out1 = filt_cpu(args_c[0], args_c[1], args_c[2][:, i])
             jax.block_until_ready(out1)
         seq_tps = SEQ_TRIALS / (time.perf_counter() - t0)
 

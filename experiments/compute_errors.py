@@ -1,0 +1,138 @@
+"""Accuracy metrics vs the brute-force grid truth.
+
+Counterpart of reference ``dardel/benes_bernoulli/compute_errs.py`` and
+``dardel/benes_bernoulli/brute_force.py``: per trial, evolve the true
+filtering density on an adaptive grid (mean ± 6 std, 2000 points,
+Chapman–TME-3 with 100 substeps), then score the moment-filter results
+with sup/L1/L2 distances of the characteristic functions on
+z ∈ [−2, 2] (2000 points) and absolute mean errors, averaged over time.
+
+Usage (after experiments/benes_bernoulli.py):
+    python experiments/compute_errors.py --Ns 3 5 8 --mode raw --closure tme-normal
+"""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from experiments import common
+
+
+def brute_force_truth(yss, grid_lo=-6.0, grid_hi=6.0, grid_n=2000, substeps=100):
+    """Grid-filter truth for a batch of measurement sequences.
+
+    Returns (trials, T, grid_n) densities and the grid.
+    """
+    from mfs_tpu.filters.grid import brute_force_filter
+    from mfs_tpu.models import benes_bernoulli
+
+    model = benes_bernoulli(N=2)
+    xs_grid = jnp.linspace(grid_lo, grid_hi, grid_n)
+    init_ps = model.init_cond.pdf(xs_grid)
+
+    bf = jax.jit(
+        lambda ys: brute_force_filter(
+            model.drift, model.dispersion, model.measurement_cond_pdf,
+            init_ps, xs_grid, ys, model.dt,
+            integration_steps=substeps, pred_method="chapman-tme-3",
+        )
+    )
+    pss = jax.lax.map(bf, yss)  # (trials, T, grid_n) — sequential per trial
+    return pss, xs_grid
+
+
+def cf_errors(moments, pss, xs_grid, zs, mean=None):
+    """sup/L1/L2 characteristic-function distances, (trials, T) each.
+
+    Assembled from two einsums so the (trials, T, z, grid) cross
+    product is never materialised (a naive doubly-vmapped trapezoid
+    needs tens of GB at the reference's z = 2000, grid = 2000).
+    ``mean`` (T, trials) re-centres central-mode moment vectors.
+    """
+    from mfs_tpu.one_dim.quadrature import moment_quadrature
+
+    # True CF by trapezoid: (z, grid) x (trials, T, grid) -> (trials, T, z).
+    dx = xs_grid[1] - xs_grid[0]
+    tw = jnp.full_like(xs_grid, dx).at[0].mul(0.5).at[-1].mul(0.5)
+    phase = jnp.exp(1.0j * zs[:, None] * xs_grid)  # (z, grid)
+    cf_true = jnp.einsum("zg,btg->btz", phase * tw, pss.astype(phase.dtype))
+
+    # Estimated CF from the moment vectors: one quadrature per (b, t),
+    # then a (n x z) phase contraction.
+    ms = jnp.swapaxes(moments, 0, 1)  # (trials, T, 2N)
+    if mean is None:
+        w, x = moment_quadrature(ms)
+    else:
+        w, x = moment_quadrature(ms, jnp.swapaxes(mean, 0, 1))
+    cf_est = jnp.einsum(
+        "btn,btnz->btz",
+        w.astype(phase.dtype),
+        jnp.exp(1.0j * x[..., None] * zs),
+    )
+
+    diff = jnp.abs(cf_est - cf_true)
+    dz = zs[1] - zs[0]
+    return (
+        jnp.max(diff, axis=-1),
+        jnp.sum(diff, axis=-1) * dz,
+        jnp.sqrt(jnp.sum(diff**2, axis=-1) * dz),
+    )
+
+
+def main():
+    p = common.base_parser(__doc__)
+    p.add_argument("--Ns", type=int, nargs="+", default=[3, 5, 8])
+    p.add_argument("--mode", default="raw")
+    p.add_argument("--closure", default="tme-normal")
+    p.add_argument("--grid-n", type=int, default=2000)
+    p.add_argument("--substeps", type=int, default=100)
+    args = p.parse_args()
+    common.setup(args)
+
+    zs = jnp.linspace(-2.0, 2.0, 2000)
+    truth_cache = None
+    for N in args.Ns:
+        name = f"mf_N{N}_{args.mode}_{args.closure}_s{args.seed}"
+        data = common.load_results("benes_bernoulli", name)
+        moments = jnp.asarray(data["moments"])  # (T, trials, 2N)
+        yss = jnp.asarray(data["yss"])  # (trials, T)
+        finite = np.asarray(data["finite"])
+
+        if truth_cache is None:
+            pss, xs_grid = brute_force_truth(
+                yss, grid_n=args.grid_n, substeps=args.substeps
+            )
+            bf_means = jnp.trapezoid(pss * xs_grid, xs_grid, axis=-1)
+            truth_cache = (pss, xs_grid, bf_means)
+        pss, xs_grid, bf_means = truth_cache
+
+        if args.mode == "raw":
+            sup_e, l1_e, l2_e = cf_errors(moments, pss, xs_grid, zs)
+            est_means = moments[..., 1].T
+        else:
+            means = jnp.asarray(data["means"])  # (T, trials)
+            sup_e, l1_e, l2_e = cf_errors(moments, pss, xs_grid, zs, mean=means)
+            est_means = means.T
+        mean_err = jnp.abs(est_means - bf_means)  # (trials, T)
+
+        mask = finite
+        rec = dict(
+            experiment="benes_bernoulli_errors", N=N, mode=args.mode,
+            closure=args.closure,
+            trials_used=int(mask.sum()),
+            cf_sup=float(jnp.mean(sup_e[mask])),
+            cf_l1=float(jnp.mean(l1_e[mask])),
+            cf_l2=float(jnp.mean(l2_e[mask])),
+            mean_abs_err=float(jnp.mean(mean_err[mask])),
+        )
+        common.save_results(
+            "benes_bernoulli", f"errs_{name}",
+            cf_sup=sup_e, cf_l1=l1_e, cf_l2=l2_e, mean_err=mean_err, finite=mask,
+        )
+        common.emit(rec)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Monte-Carlo parameter-estimation study on the Well–Poisson model.
+
+Counterpart of reference ``dardel/parameter_estimation/mf.py``: per
+trial, simulate a trajectory at the true parameters (p1, p2) = (3, 3),
+then maximise the moment-filter likelihood with L-BFGS under a
+softplus reparameterisation.  The on-device optax path runs *all
+trials' optimisations batched* — the reference needs one SciPy process
+per trial.
+"""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from experiments import common
+
+
+def main():
+    p = common.base_parser(__doc__)
+    p.add_argument("--N", type=int, default=4)
+    p.add_argument("--T", type=int, default=1000)
+    p.add_argument("--true-p1", type=float, default=3.0)
+    p.add_argument("--true-p2", type=float, default=3.0)
+    p.add_argument("--opt-steps", type=int, default=60)
+    args = p.parse_args()
+    common.setup(args)
+
+    import optax
+
+    from mfs_tpu.models import well_poisson
+    from mfs_tpu.one_dim.filtering import moment_filter_cms
+    from mfs_tpu.sde import sde_cond_moments_euler
+
+    N, B = args.N, args.trials
+    dt, T_full, ts, ic, drift, disp, emission, meas_pmf, simulate = well_poisson(
+        args.true_p1, N=N
+    )
+    key_sim, key_meas = jax.random.split(jax.random.PRNGKey(args.seed))
+    xss = simulate(key_sim, B, 20)[:, : args.T]  # (B, T)
+    yss = jax.random.poisson(key_meas, emission(xss, args.true_p2)).astype(xss.dtype)
+    ys = jnp.swapaxes(yss, 0, 1)  # (T, B)
+
+    def nell_one(params, ys_one):
+        p1 = jnp.logaddexp(0.0, params[0])
+        p2 = jnp.logaddexp(0.0, params[1])
+        trans = sde_cond_moments_euler(lambda u: drift(u, p1), disp, dt, N)
+        _, _, out = moment_filter_cms(
+            trans.cms, trans.mean,
+            lambda y, u: meas_pmf(y, u, p2),
+            ic.cms, ic.mean, ys_one,
+        )
+        return out
+
+    # Batched independent optimisations: vmap adam over trials.
+    opt = optax.adam(5e-2)
+
+    def fit_one(ys_one):
+        def step(carry, _):
+            params, state = carry
+            loss, g = jax.value_and_grad(nell_one)(params, ys_one)
+            updates, state = opt.update(g, state, params)
+            return (optax.apply_updates(params, updates), state), loss
+
+        params0 = jnp.array([0.5, 0.5])
+        (params, _), losses = jax.lax.scan(
+            step, (params0, opt.init(params0)), None, length=args.opt_steps
+        )
+        return jnp.logaddexp(0.0, params), losses[-1]
+
+    fit = jax.jit(jax.vmap(fit_one, in_axes=1))
+    (p_hat, final_nell), dt_run = common.timed_call(fit, ys)
+
+    finite = jnp.isfinite(p_hat).all(axis=-1)
+    common.save_results(
+        "parameter_estimation", f"mf_N{N}_s{args.seed}", p_hat=p_hat, nell=final_nell
+    )
+    common.emit(
+        dict(
+            experiment="parameter_estimation", N=N, trials=B, T=args.T,
+            p1_mean=float(jnp.mean(p_hat[finite, 0])),
+            p1_std=float(jnp.std(p_hat[finite, 0])),
+            p2_mean=float(jnp.mean(p_hat[finite, 1])),
+            p2_std=float(jnp.std(p_hat[finite, 1])),
+            wall_time_s=round(float(dt_run), 3),
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -186,7 +186,14 @@ def moment_filter_nd_scms(
         )
         cond_means, cond_vars = state_cond_mean_vars(nodes)
         mean = jnp.einsum("...md,...m->...d", cond_means, weights)
-        scale = jnp.sqrt(jnp.einsum("...md,...m->...d", cond_vars, weights))
+        # Full predicted per-dimension std via the law of total variance
+        # (the reference keeps only E[cond_var]: ``mfs/multi_dims/
+        # filtering.py:189`` — see the 1D filter for why that explodes
+        # the scaled representation at high orders).
+        second = jnp.einsum(
+            "...md,...m->...d", cond_vars + cond_means**2, weights
+        )
+        scale = jnp.sqrt(second - mean**2)
         scms = jnp.einsum(
             "...mz,...m->...z", state_cond_scms(nodes, mean, scale), weights
         )

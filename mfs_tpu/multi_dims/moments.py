@@ -211,8 +211,25 @@ def marginalise_moments(ms, d: int, N: int, var_axis: int):
 # ---------------------------------------------------------------------------
 
 
+@lru_cache(maxsize=None)
+def _monomial_onehot(mi_key) -> np.ndarray:
+    mi = np.asarray(mi_key, dtype=np.int64)
+    z, d = mi.shape
+    max_deg = int(mi.max(initial=0))
+    onehot = np.zeros((z, d, max_deg + 1))
+    for zi in range(z):
+        onehot[zi, np.arange(d), mi[zi]] = 1.0
+    return onehot
+
+
 def monomials_nd(x: Array, multi_indices: np.ndarray) -> Array:
     """prod_i x_i^{k_i} for every multi-index, batched.
+
+    The per-index degree selection is a static one-hot einsum rather
+    than an advanced-index gather: the TME factories differentiate this
+    function through nested-JVP towers, and einsums stay compact under
+    repeated AD where gathers make trace size (and hence compile time)
+    explode.
 
     Parameters
     ----------
@@ -224,13 +241,14 @@ def monomials_nd(x: Array, multi_indices: np.ndarray) -> Array:
     Array (..., z)
     """
     mi = np.asarray(multi_indices, dtype=np.int64)
-    z, d = mi.shape
-    max_deg = int(mi.max(initial=0))
+    key = tuple(tuple(int(v) for v in row) for row in mi)
+    onehot = jnp.asarray(_monomial_onehot(key), dtype=jnp.result_type(x, float))
+    max_deg = onehot.shape[-1] - 1
     stack = [jnp.ones_like(x)]
     for _ in range(max_deg):
         stack.append(stack[-1] * x)
     stack = jnp.stack(stack, axis=-1)  # (..., d, max_deg + 1)
-    gathered = stack[..., np.arange(d), mi]  # (..., z, d)
+    gathered = jnp.einsum("...dk,zdk->...zd", stack, onehot)
     return jnp.prod(gathered, axis=-1)
 
 

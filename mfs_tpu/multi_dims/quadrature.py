@@ -37,6 +37,20 @@ def nd_cartesian_prod_indices(d: int, n: int) -> np.ndarray:
     return _cartesian_indices(d, n).copy()
 
 
+def nd_cartesian_prod(x: Array, inds: np.ndarray = None) -> Array:
+    """All n^d combinations of d n-vectors (rows of ``x``).
+
+    ``x`` has shape (d, n, ...); returns (n^d, ..., d) — one entry of
+    each row per combination (reference:
+    ``mfs/multi_dims/quadratures.py:51-87``).
+    """
+    d, n = x.shape[:2]
+    if inds is None:
+        inds = _cartesian_indices(d, n)
+    cols = [x[i, inds[:, i]] for i in range(d)]
+    return jnp.stack(cols, axis=-1)
+
+
 def moment_quadrature_nd(
     ms: Array,
     inds: Union[Array, np.ndarray],

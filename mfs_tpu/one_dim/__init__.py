@@ -18,6 +18,7 @@ from mfs_tpu.one_dim.filtering import (
     moment_filter_rms,
     moment_filter_cms,
     moment_filter_scms,
+    moment_filter_taylor,
 )
 from mfs_tpu.one_dim.pdf_approximations import (
     gram_charlier,

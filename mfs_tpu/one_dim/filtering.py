@@ -193,7 +193,19 @@ def moment_filter_scms(
         )
         cond_means, cond_vars = state_cond_mean_var(nodes)
         mean = jnp.einsum("...n,...n->...", cond_means, weights)
-        scale = jnp.sqrt(jnp.einsum("...n,...n->...", cond_vars, weights))
+        # Scale = the *full* predicted standard deviation (law of total
+        # variance).  The reference uses only the within-transition part
+        # sqrt(E[cond_var]) (reference ``mfs/one_dim/filtering.py:224``),
+        # which under-estimates the spread by the between-node variance;
+        # the scaled moments then grow like (true std / scale)^{2N-1}
+        # and overflow the Hankel conditioning for small dt at high N.
+        # Any positive scale is algebraically valid in this
+        # representation, so using the exact std is a strict numerical
+        # improvement with identical exact-arithmetic semantics.
+        second = jnp.einsum(
+            "...n,...n->...", cond_vars + cond_means**2, weights
+        )
+        scale = jnp.sqrt(second - mean**2)
         cond_scms = state_cond_scaled_central_moments(
             nodes, mean[..., None], scale[..., None]
         )
@@ -221,3 +233,70 @@ def moment_filter_scms(
         step, (scms0, mean0, scale0, nell0), ys
     )
     return scmss, means, scales, nell
+
+
+def moment_filter_taylor(
+    state_cond_central_moments: Callable[[Array, Array], Array],
+    state_cond_mean: Callable[[Array], Array],
+    measurement_cond_pdf: Callable[[Any, Array], Array],
+    cms0: Array,
+    mean0: FloatScalar,
+    ys: Array,
+    taylor_order: int = None,
+) -> Tuple[Array, Array, Array]:
+    r"""Quadrature-free moment filter using Taylor-expansion integration.
+
+    Replaces the per-step Gauss quadrature with the Taylor rule
+    ``E[f(X)] ≈ Σ_r f^{(r)}(mean) cms[r] / r!`` — no linear algebra at
+    all, just derivative evaluations (the reference sketches this
+    filter but leaves it commented out:
+    ``mfs/one_dim/filtering.py:242-315``).  Cheaper but biased when the
+    integrands are far from polynomial; useful as a fast pilot pass.
+
+    Parameters mirror ``moment_filter_cms``; the model callables must
+    be *differentiable* in the node argument (they are evaluated at the
+    running mean and differentiated ``taylor_order`` times).
+
+    Returns
+    -------
+    cmss : (T, 2N), means : (T,), nell : scalar  (single-trial only —
+    the repeated ``jax.grad`` tower does not batch economically).
+    """
+    num_moments = cms0.shape[-1]
+    _check_even(num_moments)
+    order = taylor_order if taylor_order is not None else num_moments - 1
+
+    from mfs_tpu.one_dim.quadrature import taylor_quadrature
+
+    def step(carry, y):
+        cms, mean, nell = carry
+
+        # Prediction: E[g(X)] by Taylor with the current central moments.
+        new_mean = taylor_quadrature(
+            lambda u: state_cond_mean(u), cms, mean, order
+        )
+        cms_p = taylor_quadrature(
+            lambda u: state_cond_central_moments(u, new_mean), cms, mean, order
+        )
+        mean = new_mean
+
+        # Update: unnormalised posterior moments by Taylor.
+        like = lambda u: measurement_cond_pdf(y, u)
+        pdf_y = taylor_quadrature(like, cms_p, mean, order)
+        mean_u = (
+            taylor_quadrature(lambda u: u * like(u), cms_p, mean, order) / pdf_y
+        )
+
+        def centred_monomials(u):
+            out = [jnp.ones_like(u)]
+            for _ in range(num_moments - 1):
+                out.append(out[-1] * (u - mean_u))
+            return jnp.stack(out, axis=-1) * like(u)[..., None]
+
+        cms = taylor_quadrature(centred_monomials, cms_p, mean, order) / pdf_y
+        nell = nell - jnp.log(pdf_y)
+        return (cms, mean_u, nell), (cms, mean_u)
+
+    init = (cms0, jnp.asarray(mean0, dtype=cms0.dtype), jnp.asarray(0.0, cms0.dtype))
+    (_, _, nell), (cmss, means) = jax.lax.scan(step, init, ys)
+    return cmss, means, nell

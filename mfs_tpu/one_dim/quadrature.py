@@ -150,11 +150,15 @@ def gauss_quadrature_golub_welsch(
 
 
 def make_derivatives(f: Callable, order: int, argnum: int = 0):
-    """List ``[f, f', ..., f^{(order)}]`` w.r.t. the given argument."""
+    """List ``[f, f', ..., f^{(order)}]`` w.r.t. the given argument.
+
+    Uses forward-mode ``jacfwd`` so vector-valued integrands work too
+    (the Taylor filter expands the whole conditional-moment vector).
+    """
     derivatives = [f]
     for _ in range(order):
         derivatives.append(
-            (lambda g: lambda x, *args: jax.grad(g, argnums=argnum)(x, *args))(
+            (lambda g: lambda x, *args: jax.jacfwd(g, argnums=argnum)(x, *args))(
                 derivatives[-1]
             )
         )

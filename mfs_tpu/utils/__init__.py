@@ -1,4 +1,8 @@
 from mfs_tpu.utils.combinatorics import (
+    gamma,
+    factorial,
+    binom,
+    vmap_list_of_funcs,
     partial_bell,
     complete_bell,
     hermite_probabilist,
@@ -17,3 +21,5 @@ from mfs_tpu.utils.gaussian import (
 from mfs_tpu.utils.linalg import ldl, ldl_chol, lanczos, lanczos_ritz
 from mfs_tpu.utils.sdes import simulate_sde
 from mfs_tpu.utils.pcrlb import posterior_cramer_rao
+from mfs_tpu.utils.sdes import simulate_sde_ensemble
+from mfs_tpu.utils.profiling import timed, trace

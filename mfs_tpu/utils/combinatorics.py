@@ -11,12 +11,43 @@ differentiable.
 """
 import math
 from functools import lru_cache
-from typing import Sequence, Union
+from typing import Callable, Sequence, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from mfs_tpu.typings import Array, FloatScalar
+
+
+def gamma(x: FloatScalar) -> Array:
+    """Jittable continuous gamma function via ``lgamma``
+    (reference: ``mfs/utils.py:27-28``)."""
+    return jnp.exp(jax.lax.lgamma(x))
+
+
+def factorial(n: FloatScalar) -> Array:
+    """Jittable continuous factorial ``gamma(n + 1)``."""
+    return gamma(n + 1.0)
+
+
+def binom(n: FloatScalar, k: FloatScalar) -> Array:
+    """Jittable continuous binomial coefficient."""
+    return factorial(n) / (factorial(k) * factorial(n - k))
+
+
+def vmap_list_of_funcs(funcs: Sequence[Callable]) -> Callable:
+    """vmap a list of callables via ``lax.switch``:
+    ``z(x) = stack([f(x) for f in funcs])`` executed vectorised
+    (reference: ``mfs/utils.py:170-187``)."""
+
+    def select(ind, x):
+        return jax.lax.switch(ind, list(funcs), x)
+
+    def vmapped(x):
+        return jax.vmap(select, in_axes=(0, None))(jnp.arange(len(funcs)), x)
+
+    return vmapped
 
 
 @lru_cache(maxsize=None)

@@ -202,9 +202,27 @@ def discretise_lti_sde(A: Array, B: Array, dt: FloatScalar):
     the matrix-fraction decomposition (Axelsson–Gustafsson; reference:
     ``mfs/utils.py:128-167``).
     """
+    import numpy as np
+
     d = A.shape[0]
+    concrete = not (isinstance(A, jax.core.Tracer) or isinstance(B, jax.core.Tracer) or isinstance(dt, jax.core.Tracer))
+    if concrete:
+        # Trace-time constants: use SciPy's expm — also sidesteps the
+        # missing f64 LuDecomposition on TPU that jax's expm needs.
+        import scipy.linalg
+
+        An, Bn = np.asarray(A, np.float64), np.asarray(B, np.float64)
+        F = scipy.linalg.expm(An * float(dt))
+        blk = np.block([[An, Bn @ Bn.T], [np.zeros_like(An), -An.T]])
+        m = scipy.linalg.expm(blk * float(dt)) @ np.vstack(
+            [np.zeros_like(An), np.eye(d)]
+        )
+        Q = m[:d] @ F.T
+        return jnp.asarray(F), jnp.asarray(Q)
     F = jax.scipy.linalg.expm(A * dt)
     blk = jnp.block([[A, B @ B.T], [jnp.zeros_like(A), -A.T]])
-    m = jax.scipy.linalg.expm(blk * dt) @ jnp.vstack([jnp.zeros_like(A), jnp.eye(d, dtype=A.dtype)])
+    m = jax.scipy.linalg.expm(blk * dt) @ jnp.vstack(
+        [jnp.zeros_like(A), jnp.eye(d, dtype=A.dtype)]
+    )
     Q = m[:d] @ F.T
     return F, Q

@@ -220,3 +220,25 @@ def test_xla_eigh_filter_path(data):
         np.asarray(rmss_x[:, 1]), np.asarray(rmss_j[:, 1]), atol=1e-8
     )
     np.testing.assert_allclose(float(nell_x), float(nell_j), atol=1e-7)
+
+
+def test_taylor_filter_tracks_roughly(data):
+    """The quadrature-free Taylor filter (disabled in the reference) is
+    biased but must stay finite and loosely track the cms filter on a
+    gentle model."""
+    N = 3
+    trans = sde_cond_moments_tme(drift, dispersion, DT, 2, N)
+    _, cms0, _ = _init_moments(N)
+    from mfs_tpu.one_dim.filtering import moment_filter_taylor
+
+    # Low expansion order: the Taylor rule is most stable at order ~2
+    # (high-order likelihood derivatives at the mean overweight tails).
+    cmss_t, means_t, nell_t = moment_filter_taylor(
+        trans.cms, trans.mean, measurement_cond_pdf, cms0, MEAN0, data[:40],
+        taylor_order=2,
+    )
+    cmss_c, means_c, nell_c = moment_filter_cms(
+        trans.cms, trans.mean, measurement_cond_pdf, cms0, MEAN0, data[:40]
+    )
+    assert bool(jnp.isfinite(cmss_t).all())
+    assert float(jnp.abs(means_t - means_c).max()) < 0.3
