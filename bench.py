@@ -2,24 +2,30 @@
 
 Workload (BASELINE.md / reference ``dardel/time_profile/mf.py:83-108``):
 the 1D Beneš SDE with Bernoulli measurements, T=100 steps, moment order
-2N-1 = 29 (N=15), TME-2 Normal-closure transitions, 
-double precision, central-moment representation.  The metric is Monte-Carlo *trials per second* for
-the full filtering pass (compile excluded, ``block_until_ready`` timed,
-NaN trials would be visible as non-finite output and are asserted
-against).
+2N-1 = 29 (N=15), TME-2 Normal-closure transitions, double precision
+I/O, central-moment representation.  The metric is Monte-Carlo *trials
+per second* for the full filtering pass (compile excluded,
+``block_until_ready`` timed, divergent trials counted as in the
+reference's post-processing).
 
-``vs_baseline`` compares against the reference's execution model on the
-SAME hardware: one trial at a time through an identically-configured
-jitted filter (the reference farms independent single-trial processes
-over a CPU cluster — ``dardel/run_benes_bernoulli_mf.sh:26-31``; here
-each such process maps to a sequential single-trial call).  The
-TPU-native design replaces that with one batched scan over thousands of
-trials.
+The headline path runs the fused double-f32 Pallas quadrature kernel
+(``mfs_tpu/ops/pallas_quadrature.py``) inside the batched scan —
+measured both faster and more accurate than the XLA-composed f64 path
+at N=15 (worst moment reconstruction error 2.5e-10 vs 1.5e-5).
 
-Prints exactly one JSON line.
+``vs_baseline`` compares against the BEST CPU configuration measured on
+this host (the reference's hardware class): the strongest of
+(a) the reference repo's own ``moment_filter_cms`` (its code, imported
+    from /root/reference, single-trial sequential — its execution model,
+    ``dardel/run_benes_bernoulli_mf.sh:26-31``),
+(b) this repo's filter, single-trial sequential on CPU,
+(c) this repo's batched filter on CPU.
+The full table is printed to stderr and written to BENCH_ABLATION.json;
+stdout carries exactly one JSON line.
 """
 import json
 import os
+import sys
 import time
 
 # The bench must run on the real accelerator: let JAX pick it.
@@ -38,9 +44,22 @@ from mfs_tpu.one_dim.filtering import moment_filter_cms  # noqa: E402
 from mfs_tpu.sde import sde_cond_moments_tme_normal  # noqa: E402
 
 N = 15
-BATCH = int(os.environ.get("BENCH_BATCH", "1024"))
-SEQ_TRIALS = int(os.environ.get("BENCH_SEQ_TRIALS", "5"))
+BATCH = int(os.environ.get("BENCH_BATCH", "2048"))
+CPU_BATCH = int(os.environ.get("BENCH_CPU_BATCH", "64"))
+SEQ_TRIALS = int(os.environ.get("BENCH_SEQ_TRIALS", "8"))
 REPS = int(os.environ.get("BENCH_REPS", "3"))
+
+
+def _timeit(fn, *args, reps=REPS):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return min(times), out
 
 
 def main():
@@ -49,9 +68,8 @@ def main():
         model.drift, model.dispersion, model.dt, 2, N
     )
 
-    # Measurements from simulated trajectories (one sim, tiled noise-free
-    # variety via independent Bernoulli draws — the filter cost does not
-    # depend on y values).
+    # Measurements from simulated trajectories (8 distinct paths tiled;
+    # filter cost does not depend on the y values).
     key = jax.random.PRNGKey(0)
     xss = model.simulate(key, 8)  # (8, T)
     probs = model.emission(jnp.tile(xss, (BATCH // 8 + 1, 1))[:BATCH])
@@ -64,61 +82,116 @@ def main():
     cms0 = jnp.broadcast_to(ic.cms, (BATCH, 2 * N))
     mean0 = ic.mean * jnp.ones(BATCH)
 
-    # Central mode + LDL PD-completion: the most stable N=15
-    # configuration measured on both CPU and TPU (the reference's
-    # stability levers are the central/scaled representations and the
-    # LDL completion: ``mfs/one_dim/filtering.py:92-240``,
-    # ``mfs/utils.py:526-538``).  The few remaining NaN trials are
-    # counted, as in the reference's post-processing
-    # (``plot_benes_bernoulli_errs_and_times.py:11-35``).
-    filt = jax.jit(
-        lambda c0, m0, y: moment_filter_cms(
-            trans.cms, trans.mean, model.measurement_cond_pdf,
-            c0, m0, y, stable=True,
+    results = {}
+
+    # --- batched TPU paths: fused Pallas kernel vs XLA-composed f64 ---
+    # Central mode; the Pallas kernel's pivot floor plays the role of
+    # the LDL completion (``stable=True``) of the XLA path.
+    for impl, stable in (("pallas", False), ("refined", True)):
+        filt = jax.jit(
+            lambda c0, m0, y, impl=impl, stable=stable: moment_filter_cms(
+                trans.cms, trans.mean, model.measurement_cond_pdf,
+                c0, m0, y, stable=stable, eigh_impl=impl,
+            )
         )
-    )
+        t, out = _timeit(filt, cms0, mean0, ys)
+        finite = jnp.isfinite(out[0][-1]).all(axis=-1)
+        results[f"tpu_batched_{impl}"] = {
+            "trials_per_s": BATCH / t,
+            "finite_frac": float(jnp.mean(finite)),
+            "batch": BATCH,
+        }
 
-    # --- batched (TPU-native) ---
-    out = filt(cms0, mean0, ys)
-    jax.block_until_ready(out)
-    times = []
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        out = filt(cms0, mean0, ys)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    finite = jnp.isfinite(out[0][-1]).all(axis=-1)
-    finite_frac = float(jnp.mean(finite))
-    assert finite_frac > 0.9, f"too many divergent trials: {1 - finite_frac:.1%}"
-    batched_tps = BATCH / min(times)
-
-    # --- baseline: reference execution model (sequential single-trial
-    # jitted filter on CPU — the reference's hardware class and trial
-    # protocol, ``dardel/run_time_profile.sh:5-31``) ---
+    # --- CPU baselines (the reference's hardware class) ---
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        args_c = jax.device_put((cms0[0], mean0[0], ys), cpu)
-        filt_cpu = jax.jit(
+        ys_c = jax.device_put(ys, cpu)
+        args1 = (jax.device_put(cms0[0], cpu), jax.device_put(mean0[0], cpu))
+
+        # (b) this repo's filter, sequential single-trial (the
+        # reference execution model: one process per trial).
+        filt1 = jax.jit(
             lambda c0, m0, y: moment_filter_cms(
                 trans.cms, trans.mean, model.measurement_cond_pdf,
                 c0, m0, y, stable=True,
             )
         )
-        out1 = filt_cpu(args_c[0], args_c[1], args_c[2][:, 0])
+        out1 = filt1(*args1, ys_c[:, 0])
         jax.block_until_ready(out1)
         t0 = time.perf_counter()
         for i in range(SEQ_TRIALS):
-            out1 = filt_cpu(args_c[0], args_c[1], args_c[2][:, i])
+            out1 = filt1(*args1, ys_c[:, i])
             jax.block_until_ready(out1)
-        seq_tps = SEQ_TRIALS / (time.perf_counter() - t0)
+        results["cpu_seq_ours"] = {
+            "trials_per_s": SEQ_TRIALS / (time.perf_counter() - t0)
+        }
+
+        # (c) this repo's batched filter on CPU.
+        cms0_c = jax.device_put(cms0[:CPU_BATCH], cpu)
+        mean0_c = jax.device_put(mean0[:CPU_BATCH], cpu)
+        t, _ = _timeit(filt1, cms0_c, mean0_c, ys_c[:, :CPU_BATCH], reps=2)
+        results["cpu_batched_ours"] = {
+            "trials_per_s": CPU_BATCH / t, "batch": CPU_BATCH,
+        }
+
+        # (a) the reference repo's own filter code (no tme dependency on
+        # this import path), single-trial sequential.
+        try:
+            sys.path.insert(0, "/root/reference")
+            from mfs.one_dim.filtering import moment_filter_cms as ref_cms
+
+            ref_filt = jax.jit(
+                lambda c0, m0, y: ref_cms(
+                    lambda x, orders, mean: trans.cms(x, mean),
+                    trans.mean,
+                    model.measurement_cond_pdf,
+                    c0, m0, y, stable=True,
+                )
+            )
+            outr = ref_filt(*args1, ys_c[:, 0])
+            jax.block_until_ready(outr)
+            t0 = time.perf_counter()
+            for i in range(SEQ_TRIALS):
+                outr = ref_filt(*args1, ys_c[:, i])
+                jax.block_until_ready(outr)
+            results["cpu_seq_reference_code"] = {
+                "trials_per_s": SEQ_TRIALS / (time.perf_counter() - t0)
+            }
+        except Exception as e:  # reference tree unavailable: skip
+            results["cpu_seq_reference_code"] = {"error": str(e)[:200]}
+        finally:
+            if sys.path and sys.path[0] == "/root/reference":
+                sys.path.pop(0)
+
+    # --- headline: fused Pallas path, if it is not less stable ---
+    pallas = results["tpu_batched_pallas"]
+    refined = results["tpu_batched_refined"]
+    if pallas["finite_frac"] >= refined["finite_frac"] - 0.02:
+        head, head_name = pallas, "pallas"
+    else:
+        head, head_name = refined, "refined"
+    assert head["finite_frac"] > 0.9, (
+        f"too many divergent trials: {1 - head['finite_frac']:.1%}"
+    )
+
+    best_cpu = max(
+        v["trials_per_s"]
+        for k, v in results.items()
+        if k.startswith("cpu_") and "trials_per_s" in v
+    )
+    results["headline"] = head_name
+    results["best_cpu_trials_per_s"] = best_cpu
+    print(json.dumps(results, indent=2, default=float), file=sys.stderr)
+    with open(os.path.join(os.path.dirname(__file__), "BENCH_ABLATION.json"), "w") as f:
+        json.dump(results, f, indent=2, default=float)
 
     print(
         json.dumps(
             {
                 "metric": f"benes_bernoulli_N{N}_T100_f64_trials_per_sec",
-                "value": round(batched_tps, 3),
+                "value": round(head["trials_per_s"], 3),
                 "unit": "trials/s",
-                "vs_baseline": round(batched_tps / seq_tps, 2),
+                "vs_baseline": round(head["trials_per_s"] / best_cpu, 2),
             }
         )
     )

@@ -9,9 +9,9 @@ double precision (verified: errors ~1e-15), while some XLA linalg
 decompositions fall back to lower internal precision.  mfs-tpu therefore
 
 1. runs the moment core in f64 by default (``enable_x64()``), and
-2. routes the per-step eigendecomposition through an in-repo batched
-   Jacobi solver (``mfs_tpu.ops.eigh_jacobi``) that only uses
-   elementwise ops and matmuls, retaining true f64 on TPU.
+2. routes the per-step eigendecomposition through in-repo batched
+   solvers (``mfs_tpu.ops.eigh.eigh_batched`` / ``eigh_refined``) that
+   only use elementwise ops and matmuls, retaining true f64 on TPU.
 
 For speed experiments the whole pipeline also runs in f32 together with
 the scaled-central moment mode; see ``mfs_tpu.one_dim.filtering``.

@@ -1,10 +1,17 @@
-"""Particle filters (sequential Monte Carlo).
+"""Particle filters (sequential Monte Carlo) — batch-first.
 
 Bootstrap and proposal-based particle filters (counterpart of reference
-``mfs/classical_filters_smoothers/smc.py``).  The particle axis is a
-plain array axis, so everything vmaps/shards over additional trial
-axes; on TPU the per-step work is one fused elementwise+gather pass
-over (trials, particles).
+``mfs/classical_filters_smoothers/smc.py``).  The state carried through
+the scan is ``(..., n)`` for scalar states or ``(..., n, dx)`` for
+vector states, where ``...`` are arbitrary Monte-Carlo trial axes: one
+filter call processes a whole trial ensemble, resampling each trial
+independently (batch-first resamplers from
+``mfs_tpu.filters.resampling``).  This makes the PF baseline directly
+comparable with the batched moment filters — no external vmap needed.
+
+Key protocol: the input key is split once into (init, scan); each scan
+step splits its key into (propagation, resampling) children, so no key
+is both consumed directly and re-split (JAX key-usage contract).
 """
 from typing import Callable, Tuple
 
@@ -13,6 +20,25 @@ import jax.numpy as jnp
 
 from mfs_tpu.filters.resampling import continuous_resampling
 from mfs_tpu.typings import Array, FloatScalar
+
+
+def _gather_particles(samples: Array, idx: Array, vector_state: bool) -> Array:
+    if vector_state:
+        return jnp.take_along_axis(samples, idx[..., None], axis=-2)
+    return jnp.take_along_axis(samples, idx, axis=-1)
+
+
+def _expand_y(y, samples: Array, vector_state: bool):
+    """Insert the particle axis into per-trial measurements.
+
+    A scalar-per-trial y of shape ``(...,)`` must broadcast against
+    ``(..., n)`` samples, and a ``(..., dy)`` y against ``(..., n, dx)``.
+    Scalars and already-broadcastable shapes pass through unchanged.
+    """
+    y = jnp.asarray(y)
+    if y.ndim == samples.ndim - 1 and y.ndim > 0:
+        return y[..., None, :] if vector_state else y[..., None]
+    return y
 
 
 def bootstrap_filter(
@@ -24,44 +50,60 @@ def bootstrap_filter(
     nsamples: int,
     resampling: Callable[[Array, Array], Array],
     conti_resampling: bool = False,
+    vector_state: bool = False,
 ) -> Tuple[Array, FloatScalar]:
-    """Bootstrap particle filter.
+    """Bootstrap particle filter over an ensemble of trials.
 
     Parameters
     ----------
-    transition_sampler : ((n, dx), key) -> (n, dx)
-        Propagates particles through the transition kernel.
-    measurement_cond_pdf : (y, (n, dx)) -> (n,)
-        Likelihood of y at each particle.
-    ys : Array (T, dy)
-    init_sampler : (key, n) -> (n, dx)
+    transition_sampler : ((..., n[, dx]), key) -> (..., n[, dx])
+        Propagates all particles of all trials through the transition.
+    measurement_cond_pdf : (y, x) -> (..., n)
+        Likelihood of y at each particle; must broadcast y (with the
+        particle axis inserted by the filter) against the particles.
+    ys : Array (T, ...)
+        Measurements: time first, then arbitrary trial axes (and a
+        trailing dy axis when ``vector_state``).
+    init_sampler : (key, n) -> (..., n[, dx])
     nsamples : int
-    resampling : ((n,), key) -> (n,) integer indices.
+    resampling : ((..., n), key) -> (..., n) integer indices.
     conti_resampling : bool
-        Use the differentiable continuous resampler (1D states only).
+        Use the differentiable continuous resampler (scalar states).
+    vector_state : bool
+        Particles carry a trailing state axis ``dx``.
 
     Returns
     -------
-    samples : Array (T, n, dx), nell : scalar
+    samples : Array (T, ..., n[, dx]), nell : Array (...)
+        Per-trial negative log-likelihoods.
+
+    Reference: ``mfs/classical_filters_smoothers/smc.py:26-84``
+    (single-trial; the trial axes and the key split protocol are the
+    TPU batch-first redesign).
     """
+    key_init, key_scan = jax.random.split(key)
 
     def step(carry, elem):
         samples, nell = carry
         y, k = elem
-        samples = transition_sampler(samples, k)
-        weights = measurement_cond_pdf(y, samples)
-        nell = nell - jnp.log(jnp.mean(weights))
-        weights = weights / jnp.sum(weights)
-        k_res, _ = jax.random.split(k)
+        k_prop, k_res = jax.random.split(k)
+        samples = transition_sampler(samples, k_prop)
+        weights = measurement_cond_pdf(_expand_y(y, samples, vector_state), samples)
+        nell = nell - jnp.log(jnp.mean(weights, axis=-1))
+        weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
         if conti_resampling:
             samples = continuous_resampling(samples, weights, nsamples, k_res)
         else:
-            samples = jnp.take(samples, resampling(weights, k_res), axis=0)
+            samples = _gather_particles(
+                samples, resampling(weights, k_res), vector_state
+            )
         return (samples, nell), samples
 
-    init = init_sampler(key, nsamples)
-    keys = jax.random.split(key, ys.shape[0])
-    (_, nell), samples = jax.lax.scan(step, (init, 0.0), (ys, keys))
+    init = init_sampler(key_init, nsamples)
+    batch_shape = init.shape[: init.ndim - (2 if vector_state else 1)]
+    nell0 = jnp.zeros(batch_shape, init.dtype)
+    keys = jax.random.split(key_scan, ys.shape[0])
+    (_, nell), samples = jax.lax.scan(step, (init, nell0), (ys, keys))
     return samples, nell
 
 
@@ -75,27 +117,33 @@ def particle_filter(
     key: Array,
     nsamples: int,
     resampling: Callable[[Array, Array], Array],
+    vector_state: bool = False,
 ) -> Array:
     """Proposal-based SMC (importance weights corrected by the
-    transition/proposal density ratio).
+    transition/proposal density ratio), batch-first like
+    ``bootstrap_filter``.
 
-    Returns the resampled particle trajectories (T, n, dx).
+    Returns the resampled particle trajectories (T, ..., n[, dx]).
+
+    Reference: ``mfs/classical_filters_smoothers/smc.py:87-141``.
     """
+    key_init, key_scan = jax.random.split(key)
 
     def step(ancestors, elem):
         y, k = elem
-        samples = proposal_sampler(ancestors, y, k)
+        k_prop, k_res = jax.random.split(k)
+        y_b = _expand_y(y, ancestors, vector_state)
+        samples = proposal_sampler(ancestors, y_b, k_prop)
         weights = (
-            measurement_cond_pdf(y, samples)
+            measurement_cond_pdf(y_b, samples)
             * transition_density(samples, ancestors)
-            / proposal_density(samples, ancestors, y)
+            / proposal_density(samples, ancestors, y_b)
         )
-        weights = weights / jnp.sum(weights)
-        k_res, _ = jax.random.split(k)
-        samples = jnp.take(samples, resampling(weights, k_res), axis=0)
+        weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+        samples = _gather_particles(samples, resampling(weights, k_res), vector_state)
         return samples, samples
 
-    init = init_sampler(key, nsamples)
-    keys = jax.random.split(key, ys.shape[0])
+    init = init_sampler(key_init, nsamples)
+    keys = jax.random.split(key_scan, ys.shape[0])
     _, samples = jax.lax.scan(step, init, (ys, keys))
     return samples

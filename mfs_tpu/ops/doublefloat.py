@@ -11,19 +11,25 @@ These functions are plain jnp compositions, so they work (and are
 tested) both inside Pallas kernels and in regular traced code.
 
 Note: correctness requires IEEE f32 semantics without reassociation.
-XLA does not reassociate float arithmetic; ``--xla_allow_excess_
-precision`` may fuse a*b+c into FMAs, which only *improves* two_prod's
-error term on TPU.  Precision is validated against f64 in the tests.
+XLA does not reassociate float arithmetic, but its CPU backend
+FMA-contracts ``round(a*b) + c`` into ``fma(a, b, c)`` regardless of
+``--xla_allow_excess_precision`` — which silently *un-rounds* a product
+whose rounding error a compensation term already accounts for (measured:
+``mul(X, X)`` degrades from 1e-14 to 6e-8 under jit).  The defense here
+is structural, not flag-based: every f32 multiply in the error-free
+transforms is *exactly representable* (12-bit × 12-bit operand halves
+from an integer mask-based split), so any contraction computes the
+identical value.  The only inexact multiplies are the ~2^-24-scale
+cross terms, where contraction perturbs results below the 2^-45 target.
+Precision is validated against f64 in the tests.
 """
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from mfs_tpu.typings import Array
-
-# Veltkamp split constant for f32 (24-bit mantissa): 2^12 + 1.
-_SPLIT = np.float32(4097.0)
 
 
 class DF(NamedTuple):
@@ -101,34 +107,87 @@ def _nofold(x):
 
 
 def _quick_two_sum(a, b) -> Tuple[Array, Array]:
-    # requires |a| >= |b|
+    # requires |a| >= |b|.  Every rounded intermediate is barriered:
+    # leaving any of them foldable lets the simplifier rewrite e.g.
+    # ``b - (s - a)`` to ``(a + b) - s`` (valid in reals only), which
+    # collapses the compensation to zero (ADVICE.md round-1 high).
     s = _nofold(a + b)
-    return s, b - (s - a)
+    t = _nofold(s - a)
+    return s, _nofold(b - t)
 
 
 def _two_sum(a, b) -> Tuple[Array, Array]:
     s = _nofold(a + b)
     bb = _nofold(s - a)
-    return s, (a - (s - bb)) + (b - bb)
+    ea = _nofold(a - _nofold(s - bb))
+    eb = _nofold(b - bb)
+    return s, _nofold(ea + eb)
 
 
 def _split(a) -> Tuple[Array, Array]:
-    t = _nofold(_SPLIT * a)
-    hi = _nofold(t - (t - a))
+    """Split a into 12-bit halves: a = hi + lo exactly, each half with
+    at most 12 significant bits (so products of halves are exact f32).
+
+    Integer round-to-12-bits: add half an ulp-at-bit-12 to the payload
+    and mask the low 12 mantissa bits.  IEEE sign-magnitude makes this
+    correct for negatives; a mantissa carry rounds up into the exponent,
+    which is still exactly representable.  Built from integer ops that
+    neither XLA's algebraic simplifier nor LLVM's FMA contraction can
+    rewrite (the Veltkamp float-only split is corrupted by contraction
+    of its ``SPLIT*a - a`` step into an fma).  ``lo = a - hi`` is exact
+    (Sterbenz).
+    """
+    if isinstance(a, (int, float, np.floating)) or (
+        isinstance(a, np.ndarray) and a.ndim == 0
+    ):
+        # Constants split at trace time (keeps them NumPy scalars —
+        # Mosaic rejects scalar bitcasts and captured jax constants).
+        af = np.float32(a)
+        bits = np.asarray(af).view(np.uint32)
+        hi = np.asarray(
+            (bits + np.uint32(0x800)) & np.uint32(0xFFFFF000)
+        ).view(np.float32)[()]
+        return hi, np.float32(af - hi)
+    a = jnp.asarray(a, jnp.float32)
+    shaped = a if a.ndim else a.reshape(1)
+    bits = jax.lax.bitcast_convert_type(shaped, jnp.uint32)
+    hi_bits = (bits + jnp.uint32(0x800)) & jnp.uint32(0xFFFFF000)
+    hi = jax.lax.bitcast_convert_type(hi_bits, jnp.float32)
+    hi = hi if a.ndim else hi.reshape(())
     return hi, a - hi
 
 
 def _two_prod(a, b) -> Tuple[Array, Array]:
-    p = _nofold(a * b)
+    """Exact product: p + err == a*b with p = fl(a*b) (to ~1 ulp^2).
+
+    All four partial products of the 12-bit halves are exactly
+    representable, so every multiply is immune to FMA contraction; the
+    partials are then summed with error-free adds only.
+    """
     ah, al = _split(a)
     bh, bl = _split(b)
-    err = ((_nofold(ah * bh) - p) + ah * bl + al * bh) + al * bl
+    hh = ah * bh          # exact, carries the full magnitude
+    m1 = ah * bl          # exact, ~2^-12 scale
+    m2 = al * bh          # exact, ~2^-12 scale
+    ll = al * bl          # exact, ~2^-24 scale
+    s, e = _two_sum(m1, m2)
+    e = _nofold(e + ll)
+    p, e2 = _two_sum(hh, s)
+    err = _nofold(e2 + e)
     return p, err
 
 
 def add(a: DF, b: DF) -> DF:
+    # Full-precision double-float add (QD "ieee_add"): both the hi and
+    # lo sums go through error-free transforms, so the result stays
+    # accurate to ~2 ulp of itself even under heavy cancellation (the
+    # sloppy single-two_sum variant degrades to ~1e-10 relative there,
+    # which broke the Cholesky of ill-conditioned Hankel matrices).
     s, e = _two_sum(a.hi, b.hi)
-    e = e + a.lo + b.lo
+    t, te = _two_sum(a.lo, b.lo)
+    e = _nofold(e + t)
+    s, e = _quick_two_sum(s, e)
+    e = _nofold(e + te)
     hi, lo = _quick_two_sum(s, e)
     return DF(hi, lo)
 

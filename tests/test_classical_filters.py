@@ -170,6 +170,43 @@ def test_bootstrap_pf_close_to_kf(kalman, resampler):
     np.testing.assert_allclose(float(nell), float(kalman[2][-1]), rtol=5e-2)
 
 
+def test_bootstrap_pf_batched_trials(kalman):
+    """Batch-first SMC: one call filters an ensemble of trials, each
+    resampled independently; every trial tracks the KF."""
+    chol_q = jnp.sqrt(Q_MAT[0, 0])
+    B = 3
+
+    def transition_sampler(samples, key):
+        return F_MAT[0, 0] * samples + chol_q * jax.random.normal(key, samples.shape)
+
+    def meas_pdf(y, x):
+        return jnp.exp(-0.5 * (y - x) ** 2 / XI) / jnp.sqrt(2 * jnp.pi * XI)
+
+    def init_sampler(key, n):
+        return M0[0] + jnp.sqrt(V0[0, 0]) * jax.random.normal(key, (B, n))
+
+    ys_b = jnp.broadcast_to(YS[:, None], (YS.shape[0], B))
+    samples, nell = bootstrap_filter(
+        transition_sampler,
+        meas_pdf,
+        ys_b,
+        init_sampler,
+        jax.random.PRNGKey(0),
+        4000,
+        stratified,
+    )
+    assert samples.shape == (YS.shape[0], B, 4000)
+    assert nell.shape == (B,)
+    pf_means = jnp.mean(samples, axis=-1)  # (T, B)
+    for b in range(B):
+        np.testing.assert_allclose(
+            np.asarray(pf_means[:, b]), np.asarray(kalman[0][:, 0]), atol=2e-1
+        )
+        np.testing.assert_allclose(float(nell[b]), float(kalman[2][-1]), rtol=5e-2)
+    # independent resampling noise => trials differ
+    assert float(jnp.max(jnp.abs(pf_means[:, 0] - pf_means[:, 1]))) > 1e-4
+
+
 def test_continuous_resampling_pf():
     def transition_sampler(samples, key):
         return F_MAT[0, 0] * samples + jnp.sqrt(Q_MAT[0, 0]) * jax.random.normal(
