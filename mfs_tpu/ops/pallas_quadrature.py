@@ -39,14 +39,23 @@ import mfs_tpu.ops.doublefloat as dfm
 from mfs_tpu.ops.doublefloat import DF
 from mfs_tpu.typings import Array
 
-_F32_BISECT_ITERS = 26
-_DF_NEWTON_ITERS = 4
+_F32_BISECT_ITERS = 32
+_DF_NEWTON_ITERS = 8
 # After the f32 phase the bracket is re-widened by this fraction of the
 # spectral range: the f32 Sturm count's flip point is displaced by up
 # to ~n * 2^-24 of the range, so a 2^-17 margin guarantees the true
 # eigenvalue lies inside the clamp interval of the Newton phase.
 _HANDOFF_MARGIN = 2.0**-17
-_PIVOT_FLOOR = 1e-30
+# Pivot completion mirrors the LDL path (``utils/linalg.py::ldl_chol``):
+# non-positive pivots (PD loss) are replaced so the Cholesky diagonal
+# becomes 1e-8 * ||G||_F — the same nearby-PD completion the f64
+# filters use with ``stable=True``.  The clamp must be sign-based:
+# *small positive* pivots are legitimate (in central mode the diagonal
+# decays like scale^j), and a magnitude threshold destroys them.  The
+# previous absolute floor (1e-30) turned negative pivots into ~1e-15
+# diagonals that blew up the recurrence coefficients and cost ~5%
+# extra divergent trials at N=15 versus the LDL path.
+_PIVOT_DIAG = 1e-8
 
 
 def _sturm_count_f32(alphas, betas2, x, n):
@@ -100,52 +109,106 @@ def _quadrature_kernel(n: int, ms_hi_ref, ms_lo_ref, mean_ref, scale_ref,
         # keep everything 2-D: Mosaic does not lower 1-D vector values.
         return DF(x.hi[i:i + 1, :], x.lo[i:i + 1, :])
 
-    # ---- Cholesky of the Hankel Gram matrix, column by column --------
-    Lcols = []
-    diag = []
+    def msrow(i) -> DF:
+        return DF(ms_hi_ref[i:i + 1, :], ms_lo_ref[i:i + 1, :])
+
+    # ---- van der Sluis equilibration ---------------------------------
+    # Basis order j is rescaled by c_j = 1/sqrt(m_{2j}) so the Gram
+    # diagonal becomes exactly 1 — the optimal diagonal preconditioning.
+    # Central-mode moments decay like var^j, giving the raw Hankel a
+    # geometric condition blow-up that double-f32 cannot factorise at
+    # N = 15; the equilibrated matrix removes the artificial part of
+    # that conditioning.  The Jacobi-matrix formulas pick up the ratios
+    # r_i = c_i / c_{i+1} = sqrt(m_{2i+2} / m_{2i}) below.
+    sq = []   # sqrt(m_{2j}) as DF (1, b) rows
+    cs = []   # c_j = 1 / sqrt(m_{2j})
+    tiny_m = jnp.float32(1e-30)
     for j in range(n):
-        acc = col(j)
+        m2j = msrow(2 * j)
+        m2j = dfm.where(m2j.hi <= tiny_m, dfm.df(tiny_m), m2j)
+        sqj = dfm.sqrt(m2j)
+        sq.append(sqj)
+        cs.append(dfm.div(dfm.df(1.0), sqj))
+    rs = [dfm.div(sq[i + 1], sq[i]) for i in range(n - 1)]
+    # column vector of c_i stacked into an (n, b) DF
+    cvec = DF(
+        jnp.concatenate([c.hi for c in cs], axis=0),
+        jnp.concatenate([c.lo for c in cs], axis=0),
+    )
+
+    def col_scaled(j) -> DF:
+        # G'[:, j] = c_i * m_{i+j} * c_j
+        return dfm.mul(dfm.mul(cvec, col(j)), cs[j])
+
+    # After equilibration diag(G') = 1, so ||G'||_F is in [sqrt(n), n];
+    # the LDL completion scale is 1e-8 * n (matching ldl_chol's
+    # 1e-8 * ||.||_F up to a factor < sqrt(n)).
+    pivot_diag = np.float32(_PIVOT_DIAG * n)
+
+    # ---- LDL^T of the equilibrated Gram matrix, column by column -----
+    # Factorise with the TRUE pivots (possibly negative, exactly like
+    # ``utils/linalg.py::ldl``) and clamp only when forming the final
+    # scaled factor R' = (L diag(scale))^T: clamping *during* the
+    # factorisation corrupts every later column's Schur update and was
+    # measurably less stable than the LDL path on indefinite states.
+    Lunits = []   # unit-lower columns (diag row = 1)
+    ds = []       # true pivots
+    diag = []     # R' diagonal: sqrt(d) or the completion value
+    for j in range(n):
+        acc = col_scaled(j)
         for k in range(j):
-            acc = dfm.sub(acc, dfm.mul(Lcols[k], getrow(Lcols[k], j)))
+            acc = dfm.sub(
+                acc, dfm.mul(Lunits[k], dfm.mul(ds[k], getrow(Lunits[k], j)))
+            )
         d = getrow(acc, j)
-        # pivot floor = LDL-style PD completion for ill-conditioned G.
-        d = dfm.where(d.hi < _PIVOT_FLOOR, dfm.df(jnp.float32(_PIVOT_FLOOR)), d)
-        sqrt_d = dfm.sqrt(d)
-        inv_d = dfm.div(dfm.df(1.0), sqrt_d)
-        c = dfm.mul(acc, inv_d)
+        # zero-pivot guard (f32 can hit exact 0; keep the sign)
+        tiny = jnp.float32(1e-35)
+        zero = jnp.abs(d.hi) < tiny
+        d = dfm.where(zero, dfm.df(tiny), d)
+        bad = d.hi <= 0.0
+        sqrt_d = dfm.sqrt(dfm.where(bad, dfm.df(1.0), d))
+        scale_j = DF(
+            jnp.where(bad, pivot_diag, sqrt_d.hi),
+            jnp.where(bad, 0.0, sqrt_d.lo),
+        )
+        cu = dfm.div(acc, d)
         below = row_ids > j
         on = row_ids == j
-        c = DF(
-            jnp.where(on, sqrt_d.hi, jnp.where(below, c.hi, 0.0)),
-            jnp.where(on, sqrt_d.lo, jnp.where(below, c.lo, 0.0)),
+        cu = DF(
+            jnp.where(on, 1.0, jnp.where(below, cu.hi, 0.0)),
+            jnp.where(on, 0.0, jnp.where(below, cu.lo, 0.0)),
         )
-        Lcols.append(c)
-        diag.append(sqrt_d)
+        Lunits.append(cu)
+        ds.append(d)
+        diag.append(scale_j)
 
     # ---- Golub–Welsch recurrence coefficients ------------------------
-    # alphas[i] = J[i, i], betas[i] = J[i, i+1]; R = L^T (upper).
+    # In the monomial basis R[i, j] = L'[j, i] / c_j, so
+    #   R[i, i+1]/R[i, i]     = r_i * Lunit'_i[i+1]
+    #   R[k, k]/R[k-1, k-1]   = r_{k-1} * s'_k / s'_{k-1}.
     alphas = [None] * n
     betas = [None] * (n - 1)
     sup_ratio = [
-        dfm.div(getrow(Lcols[i], i + 1), diag[i]) for i in range(n - 1)
+        dfm.mul(rs[i], getrow(Lunits[i], i + 1)) for i in range(n - 1)
     ]
     alphas[0] = sup_ratio[0]
     for i in range(1, n - 1):
         alphas[i] = dfm.sub(sup_ratio[i], sup_ratio[i - 1])
     for k in range(1, n):
-        betas[k - 1] = dfm.div(diag[k], diag[k - 1])
+        betas[k - 1] = dfm.mul(rs[k - 1], dfm.div(diag[k], diag[k - 1]))
 
     # Last diagonal entry needs the order-(2n-1) moment:
-    # alpha_{n-1} = u^T H u with L^T u = e_{n-1}, H[i, j] = m_{i+j+1}.
-    u = [None] * n
-    u[n - 1] = dfm.div(dfm.df(1.0), diag[n - 1])
+    # alpha_{n-1} = u^T H u with R^T u = e_{n-1}, H[i, j] = m_{i+j+1}.
+    # Solve in the equilibrated basis (Lunit'^T v = e_{n-1}/s'_{n-1}, a
+    # unit backsolve) and map back: u_i = c_i v_i.
+    v = [None] * n
+    v[n - 1] = dfm.div(dfm.df(1.0), diag[n - 1])
     for i in range(n - 2, -1, -1):
         acc = dfm.df(0.0)
         for j in range(i + 1, n):
-            acc = dfm.add(acc, dfm.mul(getrow(Lcols[i], j), u[j]))
-        u[i] = dfm.div(dfm.neg(acc), diag[i])
-    def msrow(i) -> DF:
-        return DF(ms_hi_ref[i:i + 1, :], ms_lo_ref[i:i + 1, :])
+            acc = dfm.add(acc, dfm.mul(getrow(Lunits[i], j), v[j]))
+        v[i] = dfm.neg(acc)
+    u = [dfm.mul(cs[i], v[i]) for i in range(n)]
 
     alpha_last = dfm.df(0.0)
     for i in range(n):
@@ -222,10 +285,12 @@ def _quadrature_kernel(n: int, ms_hi_ref, ms_lo_ref, mean_ref, scale_ref,
     # ---- Weights from the Christoffel function ------------------------
     # orthonormal recurrence: beta_{j+1} p_{j+1} = (x - alpha_j) p_j
     #                                              - beta_j p_{j-1}
+    # p_0 = 1/R[0,0] in the monomial basis: R[0,0] = s'_0 * sqrt(m_0).
+    r00 = dfm.mul(diag[0], sq[0])
     p_prev = dfm.df(jnp.zeros((n, b), jnp.float32))
     p = dfm.div(dfm.df(jnp.ones((n, b), jnp.float32)),
-                DF(jnp.broadcast_to(diag[0].hi, (n, b)),
-                   jnp.broadcast_to(diag[0].lo, (n, b))))
+                DF(jnp.broadcast_to(r00.hi, (n, b)),
+                   jnp.broadcast_to(r00.lo, (n, b))))
     s = dfm.mul(p, p)
     for j in range(n - 1):
         t = dfm.mul(dfm.sub(lam, alphas[j]), p)

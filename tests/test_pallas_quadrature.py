@@ -96,6 +96,46 @@ def test_kernel_body_matches_xla_quadrature(N):
         )
 
 
+def test_kernel_body_equilibration_N8():
+    """The equilibrated kernel body on ill-conditioned central-mode
+    moment vectors (small variances give the raw Hankel a geometric
+    condition blow-up the van der Sluis scaling must remove).  Runs the
+    oracle eagerly — jit-compiling the unrolled N=8 body takes minutes
+    on CPU while the eager run takes seconds, and the jit/simplifier
+    survival of the transforms is covered by the smaller jitted tests.
+    The full N=15 production size is validated on hardware by
+    ``tools/tpu_accuracy_check.py``."""
+    N = 8
+    means = jnp.zeros(4)
+    varis = jnp.array([0.05, 0.2, 1.0, 3.0])
+    ms = (
+        0.5 * normal_raw_moments_all(means, varis, 2 * N)
+        + 0.5 * normal_raw_moments_all(means + 0.3 * jnp.sqrt(varis), varis * 0.6, 2 * N)
+    )
+    w_ref, x_ref = moment_quadrature(ms, sort_nodes=True)
+
+    msd = dfm.from_f64(ms.T)
+    B = ms.shape[0]
+    mean_in = jnp.zeros((2, B), jnp.float32)
+    scale_in = jnp.concatenate(
+        [jnp.ones((1, B), jnp.float32), jnp.zeros((1, B), jnp.float32)]
+    )
+    wh, wl, xh, xl = run_kernel_as_jnp(N, msd.hi, msd.lo, mean_in, scale_in)
+    w_p = dfm.to_f64(DF(wh, wl)).T
+    x_p = dfm.to_f64(DF(xh, xl)).T
+    order = jnp.argsort(x_p, axis=-1)
+    w_p = jnp.take_along_axis(w_p, order, axis=-1)
+    x_p = jnp.take_along_axis(x_p, order, axis=-1)
+    # moment reproduction through the double-f32 rule
+    for p in range(2 * N):
+        got = jnp.sum(w_p * x_p**p, axis=-1)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ms[:, p]), rtol=1e-10, atol=1e-14
+        )
+    # and agreement with the f64 XLA path on nodes
+    np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_ref), atol=5e-6)
+
+
 def test_kernel_body_affine_map():
     N = 3
     ms_c = normal_raw_moments_all(jnp.zeros(3), jnp.ones(3), 2 * N)
