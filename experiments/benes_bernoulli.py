@@ -18,7 +18,8 @@ import jax.numpy as jnp
 from experiments import common
 
 
-def run(N, mode, closure, trials, seed, stable=True, tme_order=2):
+def run(N, mode, closure, trials, seed, stable=True, tme_order=2,
+        eigh_impl="refined"):
     from mfs_tpu.models import benes_bernoulli
     from mfs_tpu.one_dim.filtering import (
         moment_filter_cms,
@@ -43,7 +44,8 @@ def run(N, mode, closure, trials, seed, stable=True, tme_order=2):
         rms0 = jnp.broadcast_to(ic.rms, (trials, 2 * N))
         fn = jax.jit(
             lambda r0, y: moment_filter_rms(
-                trans.rms, model.measurement_cond_pdf, r0, y, stable=stable
+                trans.rms, model.measurement_cond_pdf, r0, y, stable=stable,
+                eigh_impl=eigh_impl
             )
         )
         (mss, nell), dt_run = common.timed_call(fn, rms0, ys)
@@ -54,7 +56,8 @@ def run(N, mode, closure, trials, seed, stable=True, tme_order=2):
         fn = jax.jit(
             lambda c0, y: moment_filter_cms(
                 trans.cms, trans.mean, model.measurement_cond_pdf, c0,
-                ic.mean * jnp.ones(trials), y, stable=stable
+                ic.mean * jnp.ones(trials), y, stable=stable,
+                eigh_impl=eigh_impl
             )
         )
         (mss, means, nell), dt_run = common.timed_call(fn, cms0, ys)
@@ -65,7 +68,7 @@ def run(N, mode, closure, trials, seed, stable=True, tme_order=2):
             lambda s0, y: moment_filter_scms(
                 trans.scms, trans.mean_var, model.measurement_cond_pdf, s0,
                 ic.mean * jnp.ones(trials), jnp.sqrt(ic.variance) * jnp.ones(trials),
-                y, stable=stable
+                y, stable=stable, eigh_impl=eigh_impl
             )
         )
         (mss, means, scales, nell), dt_run = common.timed_call(fn, scms0, ys)
@@ -85,6 +88,8 @@ def main():
     p.add_argument("--closure", choices=["tme", "tme-normal"], default="tme-normal")
     p.add_argument("--tme-order", type=int, default=2)
     p.add_argument("--no-stable", action="store_true")
+    p.add_argument("--eigh-impl", default="refined",
+                   choices=["refined", "xla", "jacobi", "pallas"])
     args = p.parse_args()
     common.setup(args)
 
@@ -92,8 +97,11 @@ def main():
         out = run(
             N, args.mode, args.closure, args.trials, args.seed,
             stable=not args.no_stable, tme_order=args.tme_order,
+            eigh_impl=args.eigh_impl,
         )
         name = f"mf_N{N}_{args.mode}_{args.closure}_s{args.seed}"
+        if args.eigh_impl != "refined":
+            name += f"_{args.eigh_impl}"
         path = common.save_results("benes_bernoulli", name, **out)
         common.emit(
             dict(

@@ -3,9 +3,9 @@
 Counterpart of reference ``dardel/parameter_estimation/mf.py``: per
 trial, simulate a trajectory at the true parameters (p1, p2) = (3, 3),
 then maximise the moment-filter likelihood with L-BFGS under a
-softplus reparameterisation.  The on-device optax path runs *all
-trials' optimisations batched* — the reference needs one SciPy process
-per trial.
+softplus reparameterisation.  The on-device BFGS path runs *all
+trials' optimisations batched* (vmapped) — the reference needs one
+SciPy process per trial.
 """
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -22,11 +22,9 @@ def main():
     p.add_argument("--T", type=int, default=1000)
     p.add_argument("--true-p1", type=float, default=3.0)
     p.add_argument("--true-p2", type=float, default=3.0)
-    p.add_argument("--opt-steps", type=int, default=60)
+    p.add_argument("--opt-steps", type=int, default=100)
     args = p.parse_args()
     common.setup(args)
-
-    import optax
 
     from mfs_tpu.models import well_poisson
     from mfs_tpu.one_dim.filtering import moment_filter_cms
@@ -52,21 +50,20 @@ def main():
         )
         return out
 
-    # Batched independent optimisations: vmap adam over trials.
-    opt = optax.adam(5e-2)
+    # Batched independent optimisations: vmapped BFGS over trials (the
+    # reference drives SciPy L-BFGS-B one process per trial:
+    # ``dardel/parameter_estimation/mf.py:37-73``; the nell surface is
+    # nearly flat in p1, where first-order optimisers crawl).
+    from jax.scipy.optimize import minimize
 
     def fit_one(ys_one):
-        def step(carry, _):
-            params, state = carry
-            loss, g = jax.value_and_grad(nell_one)(params, ys_one)
-            updates, state = opt.update(g, state, params)
-            return (optax.apply_updates(params, updates), state), loss
-
-        params0 = jnp.array([0.5, 0.5])
-        (params, _), losses = jax.lax.scan(
-            step, (params0, opt.init(params0)), None, length=args.opt_steps
+        res = minimize(
+            lambda p: nell_one(p, ys_one),
+            jnp.array([0.5, 0.5]),
+            method="BFGS",
+            options=dict(maxiter=args.opt_steps),
         )
-        return jnp.logaddexp(0.0, params), losses[-1]
+        return jnp.logaddexp(0.0, res.x), res.fun
 
     fit = jax.jit(jax.vmap(fit_one, in_axes=1))
     (p_hat, final_nell), dt_run = common.timed_call(fit, ys)

@@ -30,11 +30,12 @@ def main():
     p.add_argument("--mode", default="raw")
     p.add_argument("--closure", default="tme-normal")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--impl-suffix", default="", help="e.g. _pallas")
     args = p.parse_args()
 
     rows = []
     for N in args.Ns:
-        name = f"mf_N{N}_{args.mode}_{args.closure}_s{args.seed}"
+        name = f"mf_N{N}_{args.mode}_{args.closure}_s{args.seed}{args.impl_suffix}"
         run = common.load("benes_bernoulli", name)
         errs = common.maybe_load("benes_bernoulli", f"errs_{name}")
 
