@@ -61,13 +61,17 @@ def brute_force_filter(
 
     Returns
     -------
-    Array (T, n)
-        Filtering densities at all measurement times.
+    Array (T, ..., n)
+        Filtering densities at all measurement times.  ``init_ps`` may
+        carry leading trial axes ``(..., n)`` matched by ``ys (T, ...)``
+        — the whole Monte-Carlo ensemble filters in one call, with the
+        prediction as a single batched matmul.
     """
     n = xs.shape[0]
     dx = xs[1] - xs[0]
     ddt = dt / integration_steps
     tw = _trapezoid_weights(n, dx, xs.dtype)
+    batched = init_ps.ndim > 1
 
     if pred_method.startswith("chapman"):
         if pred_method == "chapman-euler":
@@ -78,15 +82,20 @@ def brute_force_filter(
             m, v = tme.mean_and_var_1d(xs, ddt, drift, dispersion, order=order)
             scale = jnp.sqrt(v)
         # Transition kernel matrix K[i, j] = p(x_i | x_j) and trapezoid
-        # weights folded in: one matmul per substep.
+        # weights folded in.  The kernel is time-homogeneous, so the
+        # whole integration interval collapses to ONE matrix power
+        # computed at trace time — each filter step is then a single
+        # (batched) matmul instead of ``integration_steps`` matvecs.
         kernel = jax.scipy.stats.norm.pdf(xs[:, None], m[None, :], scale[None, :])
         kernel = kernel * tw[None, :]
+        kernel_full = (
+            jnp.linalg.matrix_power(kernel, integration_steps)
+            if integration_steps > 1
+            else kernel
+        )
 
         def predict(ps):
-            def sub(p, _):
-                return kernel @ p, None
-
-            return jax.lax.scan(sub, ps, None, length=integration_steps)[0]
+            return jnp.einsum("ij,...j->...i", kernel_full, ps)
 
     elif pred_method == "kolmogorov":
         gamma = lambda x: dispersion(x) ** 2
@@ -97,8 +106,8 @@ def brute_force_filter(
         gamma_xs = gamma(xs) * jnp.ones_like(xs)
 
         def fokker_planck(ps):
-            dps = jnp.gradient(ps, dx)
-            ddps = jnp.gradient(dps, dx)
+            dps = jnp.gradient(ps, dx, axis=-1)
+            ddps = jnp.gradient(dps, dx, axis=-1)
             adv = -(d_drift * ps + drift_xs * dps)
             diff = 0.5 * (dd_gamma * ps + 2 * d_gamma * dps + gamma_xs * ddps)
             return adv + diff
@@ -114,9 +123,11 @@ def brute_force_filter(
 
     def step(ps, y):
         ps = predict(ps)
-        lik = measurement_cond_pdf(y, xs)
+        y = jnp.asarray(y)
+        y_b = y[..., None] if (batched and y.ndim == ps.ndim - 1) else y
+        lik = measurement_cond_pdf(y_b, xs)
         unnorm = lik * ps
-        ps = unnorm / jnp.sum(unnorm * tw)
+        ps = unnorm / jnp.sum(unnorm * tw, axis=-1, keepdims=True)
         return ps, ps
 
     return jax.lax.scan(step, init_ps, ys)[1]
