@@ -58,7 +58,7 @@ def moment_quadrature_nd(
     scale: Array = None,
     sort_nodes: bool = False,
     stable: bool = False,
-    eigh_impl: str = "jacobi",
+    eigh_impl: str = "refined",
 ) -> Tuple[Array, Array]:
     """Multidimensional Gauss quadrature from a graded-lex moment vector.
 
@@ -71,15 +71,18 @@ def moment_quadrature_nd(
         ``gram_and_hankel_indices_graded_lexico``.
     mean : Array (..., d), optional — recentre the nodes.
     scale : Array (..., d), optional — rescale the nodes.
-    sort_nodes, stable, eigh_impl : as in the 1D quadrature, except
-        the default here is the pure in-repo Jacobi solver: the d
+    sort_nodes, stable, eigh_impl : as in the 1D quadrature.  The d
         multiplication operators have *structurally repeated*
         eigenvalues (each coordinate value appears for several basis
-        polynomials), and on TPU the XLA-seeded refined paths leave
-        f32-grade inconsistencies within those degenerate clusters
-        that break the chained-inner-product weights.  Jacobi from the
-        identity is exact on both platforms (validated: TPU N-D nell
-        matches CPU to 1e-12).
+        polynomials); the default "refined" path handles them by
+        seeding with an f32 XLA eigh (the TPU's emulated-f64 eigh
+        returns NaN on such clusters) and finishing with true-f64
+        Jacobi polish sweeps — within an exactly-degenerate cluster
+        any orthonormal basis gives the same chained-inner-product
+        quadrature, so the arbitrary in-cluster rotation is harmless.
+        Measured on v5e (prey-predator N=3, B=256, T=100): 1.7x faster
+        than the pure-Jacobi fallback at nell agreement ~3e-11; use
+        ``eigh_impl="jacobi"`` to force the identity-seeded solver.
 
     Returns
     -------

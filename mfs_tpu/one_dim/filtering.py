@@ -178,6 +178,19 @@ def moment_filter_scms(
     — the Hankel matrices stay O(1) regardless of the state magnitude
     (reference: ``mfs/one_dim/filtering.py:164-240``).
 
+    .. note:: **Scale-output convention.** The prediction step defines
+       ``scale`` as the *full* predicted standard deviation (law of
+       total variance), whereas the reference uses only the
+       within-transition part ``sqrt(E[cond_var])`` (reference
+       ``mfs/one_dim/filtering.py:224``).  Any positive scale is
+       algebraically valid — the filtering distribution, ``means`` and
+       ``nell`` are identical in exact arithmetic — but the returned
+       ``scales`` and ``scmss`` trajectories are *not bit-comparable*
+       with reference outputs.  The full-std choice is a strict
+       numerical improvement: the reference's under-estimated scale
+       makes the scaled moments grow like ``(true std / scale)^{2N-1}``
+       and overflow the Hankel conditioning at small dt and high N.
+
     Returns
     -------
     scmss : (T, ..., 2N), means : (T, ...), scales : (T, ...), nell : (...)

@@ -208,9 +208,15 @@ def eigh_xla(a: Array, sort: bool = False) -> Tuple[Array, Array]:
 
 @functools.partial(jax.custom_jvp, nondiff_argnums=(1,))
 def _eigh_refined_core(a: Array, polish_sweeps: int) -> Tuple[Array, Array]:
-    # Stage 1: XLA's eigh — very fast on TPU but only ~f32-grade
-    # internally (measured residual ~1e-7 in f64 on v5e).
-    vecs0, _ = jax.lax.linalg.eigh(a, sort_eigenvalues=False)
+    # Stage 1: XLA's eigh *in f32* — the seed only needs ~f32 quality
+    # (the stages below restore f64), and the TPU's emulated-f64 eigh
+    # returns NaN outright on matrices with structurally repeated
+    # eigenvalues (observed on the N-D multiplication operators), while
+    # the f32 path is robust and faster.
+    vecs0, _ = jax.lax.linalg.eigh(
+        a.astype(jnp.float32), sort_eigenvalues=False
+    )
+    vecs0 = vecs0.astype(a.dtype)
     # Stage 1b: one Newton–Schulz iteration re-orthonormalises the
     # approximate eigenbasis in f64 (orthogonality error squares:
     # ~1e-7 -> ~1e-14); without this the similarity transform below is
