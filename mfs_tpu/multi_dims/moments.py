@@ -281,6 +281,50 @@ def _scale_powers_nd(scale: Array, multi_indices: np.ndarray) -> Array:
     return monomials_nd(scale, multi_indices)
 
 
+@lru_cache(maxsize=None)
+def _shift_transform_tables(mi_key):
+    """Static tables of the multi-binomial shift transform.
+
+    ``E[prod_i (U_i - m_i)^{k_i}] = sum_{j <= k} prod_i C(k_i, j_i)
+    (-m)^{k-j} E[prod_i U_i^{j_i}]`` — for every multi-index k in the
+    graded-lex basis, every componentwise-smaller j is also in the
+    basis, so the transform is a (z, z) matrix whose entries are
+    binomial constants times monomials of -m.  Returns
+    (k_idx, j_idx, coeffs, diff_idx) flat pair tables.
+    """
+    mi = np.asarray(mi_key, dtype=np.int64)
+    ranks = {tuple(int(v) for v in row): i for i, row in enumerate(mi)}
+    k_idx, j_idx, coeffs, diff_idx = [], [], [], []
+    for ki, k in enumerate(mi):
+        for j in itertools.product(*[range(int(c) + 1) for c in k]):
+            ja = np.asarray(j, dtype=np.int64)
+            c = 1.0
+            for a, b in zip(k, ja):
+                c *= math.comb(int(a), int(b))
+            k_idx.append(ki)
+            j_idx.append(ranks[tuple(int(v) for v in ja)])
+            coeffs.append(c)
+            diff_idx.append(ranks[tuple(int(v) for v in (k - ja))])
+    return (
+        np.asarray(k_idx),
+        np.asarray(j_idx),
+        np.asarray(coeffs),
+        np.asarray(diff_idx),
+    )
+
+
+def shifted_monomial_transform(mean: Array, multi_indices: np.ndarray) -> Array:
+    """(..., z, z) matrix T(m) with central = T(m) @ raw moments."""
+    mi = np.asarray(multi_indices, dtype=np.int64)
+    key = tuple(tuple(int(v) for v in row) for row in mi)
+    k_idx, j_idx, coeffs, diff_idx = _shift_transform_tables(key)
+    monos = monomials_nd(-jnp.asarray(mean), mi)  # (..., z)
+    z = mi.shape[0]
+    T = jnp.zeros(monos.shape[:-1] + (z, z), monos.dtype)
+    vals = jnp.asarray(coeffs, monos.dtype) * monos[..., diff_idx]
+    return T.at[..., k_idx, j_idx].add(vals)
+
+
 def sde_cond_moments_nd_tme(
     drift: Callable,
     dispersion: Callable,
@@ -290,11 +334,22 @@ def sde_cond_moments_nd_tme(
 ) -> TransitionMomentsND:
     """TME conditional moments of all monomials (no Normal closure).
 
-    One vector-valued TME expansion per node computes all z moments
+    One vector-valued TME expansion per node computes all z raw moments
     (reference re-expands per multi-index under a double vmap:
-    ``mfs/multi_dims/moments.py:414-479``).
+    ``mfs/multi_dims/moments.py:414-479``); the central/scaled variants
+    and the conditional mean are all derived from that single raw pass
+    — ``cms`` applies the static multi-binomial shift transform (one
+    batched (z, z) matmul on the MXU) and ``mean`` gathers the
+    first-order rows, so inside one jitted filter step XLA CSE shares
+    one TME evaluation across all of them instead of re-running the
+    nested-JVP generator per callable.
     """
     mi = np.asarray(multi_indices, dtype=np.int64)
+    d = mi.shape[-1]
+    unit_rows = np.asarray(
+        [int(np.where((mi == np.eye(d, dtype=np.int64)[i]).all(axis=1))[0][0])
+         for i in range(d)]
+    )
 
     def rms(nodes: Array) -> Array:
         phi = lambda u: monomials_nd(u, mi)
@@ -303,26 +358,18 @@ def sde_cond_moments_nd_tme(
         return jax.vmap(f)(flat).reshape(nodes.shape[:-1] + (mi.shape[0],))
 
     def cms(nodes: Array, mean: Array) -> Array:
-        return _batched_tme_shifted(
-            nodes, jnp.asarray(mean), None, mi, dt, drift, dispersion, tme_order
-        )
+        raw = rms(nodes)  # (..., m, z)
+        T = shifted_monomial_transform(mean, mi)  # (..., z, z)
+        return jnp.einsum("...kj,...mj->...mk", T, raw)
 
     def scms(nodes: Array, mean: Array, scale: Array) -> Array:
-        return _batched_tme_shifted(
-            nodes,
-            jnp.asarray(mean),
-            jnp.asarray(scale),
-            mi,
-            dt,
-            drift,
-            dispersion,
-            tme_order,
-        )
+        out = cms(nodes, mean)
+        scale = jnp.asarray(scale)
+        s = _scale_powers_nd(scale, mi)  # (..., z)
+        return out / s[..., None, :]
 
     def mean_fn(nodes: Array) -> Array:
-        f = lambda x: tme.expectation(lambda u: u, x, dt, drift, dispersion, tme_order)
-        flat = nodes.reshape(-1, nodes.shape[-1])
-        return jax.vmap(f)(flat).reshape(nodes.shape)
+        return rms(nodes)[..., unit_rows]
 
     def mean_var(nodes: Array) -> Tuple[Array, Array]:
         def f(x):
@@ -334,35 +381,6 @@ def sde_cond_moments_nd_tme(
         return m.reshape(nodes.shape), v.reshape(nodes.shape)
 
     return TransitionMomentsND(rms, cms, scms, mean_fn, mean_var)
-
-
-def _batched_tme_shifted(nodes, mean, scale, mi, dt, drift, dispersion, tme_order):
-    """TME of shifted/scaled monomials when mean/scale carry batch axes.
-
-    vmaps jointly over the flattened (batch x node) axis with the
-    batch-dependent mean/scale broadcast to each node.
-    """
-    d = nodes.shape[-1]
-    bshape = nodes.shape[:-1]
-    mean_b = jnp.broadcast_to(mean[..., None, :] if mean.ndim == nodes.ndim - 1 else mean, bshape + (d,))
-    flat_nodes = nodes.reshape(-1, d)
-    flat_mean = mean_b.reshape(-1, d)
-    if scale is None:
-        def f(x, m):
-            phi = lambda u: monomials_nd(u - m, mi)
-            return tme.expectation(phi, x, dt, drift, dispersion, tme_order)
-
-        out = jax.vmap(f)(flat_nodes, flat_mean)
-    else:
-        scale_b = jnp.broadcast_to(scale[..., None, :] if scale.ndim == nodes.ndim - 1 else scale, bshape + (d,))
-        flat_scale = scale_b.reshape(-1, d)
-
-        def f(x, m, s):
-            phi = lambda u: monomials_nd((u - m) / s, mi)
-            return tme.expectation(phi, x, dt, drift, dispersion, tme_order)
-
-        out = jax.vmap(f)(flat_nodes, flat_mean, flat_scale)
-    return out.reshape(bshape + (mi.shape[0],))
 
 
 def _normal_closure_factory_nd(
