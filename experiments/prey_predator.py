@@ -21,6 +21,8 @@ def main():
     p.add_argument("--T", type=int, default=2000)
     p.add_argument("--mode", choices=["central", "scaled"], default="central")
     p.add_argument("--tme-order", type=int, default=2)
+    p.add_argument("--eigh-impl", default="refined",
+                   choices=["refined", "xla", "jacobi", "pallas"])
     args = p.parse_args()
     common.setup(args)
 
@@ -50,7 +52,7 @@ def main():
         fn = jax.jit(
             lambda c0, m0, y: moment_filter_nd_cms(
                 trans.cms, trans.mean, model.measurement_cond_pdf, y,
-                (mis, inds), c0, m0,
+                (mis, inds), c0, m0, eigh_impl=args.eigh_impl,
             )
         )
         (cmss, means, nell), dt_run = common.timed_call(fn, cms0, mean0, ys)
@@ -66,7 +68,7 @@ def main():
         fn = jax.jit(
             lambda s0, m0, sc0, y: moment_filter_nd_scms(
                 trans.scms, trans.mean_var, model.measurement_cond_pdf, y,
-                (mis, inds), s0, m0, sc0,
+                (mis, inds), s0, m0, sc0, eigh_impl=args.eigh_impl,
             )
         )
         (scmss, means, scales, nell), dt_run = common.timed_call(

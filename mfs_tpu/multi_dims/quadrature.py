@@ -94,25 +94,37 @@ def moment_quadrature_nd(
     G = ms[..., inds[0]]  # (..., s, s)
     Hs = ms[..., inds[1:]]  # (..., d, s, s)
 
-    R = ldl_chol(G) if stable else jax.lax.linalg.cholesky(G)
-    # Explicitly broadcast over the d multiplication matrices —
-    # triangular_solve does not broadcast singleton batch dims.
-    Rb = jnp.broadcast_to(R[..., None, :, :], Hs.shape)
-    Ks = jax.lax.linalg.triangular_solve(
-        Rb,
-        jax.lax.linalg.triangular_solve(Rb, Hs, left_side=True, lower=True),
-        left_side=False,
-        lower=True,
-        transpose_a=True,
-    )
-    Ks = 0.5 * (Ks + jnp.swapaxes(Ks, -1, -2))
+    if eigh_impl == "pallas":
+        # Fully fused double-f32 kernel: equilibrated LDL + solves +
+        # hybrid Jacobi eigenpairs in one VMEM program (completion is
+        # implicit, as in the 1D kernel).
+        from mfs_tpu.ops.pallas_quadrature_nd import nd_eigh_pallas
 
-    if eigh_impl == "jacobi":
-        vals, vecs = eigh_batched(Ks, sort=sort_nodes)
-    elif eigh_impl == "xla":
-        vals, vecs = eigh_xla(Ks, sort=sort_nodes)
+        vals, vecs = nd_eigh_pallas(ms, inds)
+        if sort_nodes:
+            order = jnp.argsort(vals, axis=-1)
+            vals = jnp.take_along_axis(vals, order, axis=-1)
+            vecs = jnp.take_along_axis(vecs, order[..., None, :], axis=-1)
     else:
-        vals, vecs = eigh_refined(Ks, polish_sweeps=2, sort=sort_nodes)
+        R = ldl_chol(G) if stable else jax.lax.linalg.cholesky(G)
+        # Explicitly broadcast over the d multiplication matrices —
+        # triangular_solve does not broadcast singleton batch dims.
+        Rb = jnp.broadcast_to(R[..., None, :, :], Hs.shape)
+        Ks = jax.lax.linalg.triangular_solve(
+            Rb,
+            jax.lax.linalg.triangular_solve(Rb, Hs, left_side=True, lower=True),
+            left_side=False,
+            lower=True,
+            transpose_a=True,
+        )
+        Ks = 0.5 * (Ks + jnp.swapaxes(Ks, -1, -2))
+
+        if eigh_impl == "jacobi":
+            vals, vecs = eigh_batched(Ks, sort=sort_nodes)
+        elif eigh_impl == "xla":
+            vals, vecs = eigh_xla(Ks, sort=sort_nodes)
+        else:
+            vals, vecs = eigh_refined(Ks, polish_sweeps=2, sort=sort_nodes)
     # vals: (..., d, s); vecs: (..., d, s, s), columns are eigenvectors.
 
     combs = _cartesian_indices(d, s)  # (s^d, d)

@@ -1,0 +1,351 @@
+"""Fused Pallas TPU kernel for the N-D moment quadrature eigenpairs.
+
+The N-D quadrature (``mfs_tpu/multi_dims/quadrature.py``) spends its
+time in tiny (s x s, s = C(N-1+d, d)) dense linear algebra executed as
+XLA-emulated f64 ops — measured ~60% of the prey-predator filter step.
+This kernel fuses the whole eigenpair pipeline per dimension into one
+VMEM program carrying double-f32 precision (``mfs_tpu.ops.doublefloat``)
+with the Monte-Carlo batch in the lane dimension:
+
+    moments (z, B) -> equilibrated Gram gather (c_j = 1/sqrt(G_jj))
+                   -> LDL^T with true pivots + completion (as in the 1D
+                      kernel / ``ldl_chol``)
+                   -> per-dimension K_i = R^{-1} H_i R^{-T} by two
+                      unit-triangular solves
+                   -> eigenpairs of each K_i by hybrid Jacobi:
+                      f32 sweeps from identity, then double-f32 sweeps
+                      with DF-renormalised rotations.
+
+Equilibration does not change K_i or its eigenpairs: the orthonormal
+polynomial basis produced by Gram-Schmidt on the graded monomials is
+invariant under positive per-element scaling, so the multiplication
+operators are identical in exact arithmetic.
+
+Unlike the 1D kernel no Christoffel shortcut exists — the chained
+inner-product weights need the eigenvectors — so the kernel outputs
+(vals, vecs) per dimension and the cheap O(s^2) weight/node assembly
+stays in XLA f64.
+
+Everything is statically unrolled per matrix entry; the kernel is
+gated to s <= 10 (d = 2 up to N = 4) to bound the traced program —
+larger bases fall back to the XLA path.
+"""
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+import mfs_tpu.ops.doublefloat as dfm
+from mfs_tpu.ops.doublefloat import DF
+from mfs_tpu.ops.eigh import _round_robin_schedule
+from mfs_tpu.typings import Array
+
+MAX_S = 10
+_F32_SWEEPS = 6
+_DF_SWEEPS = 2
+_PIVOT_DIAG = 1e-8
+
+
+def _rot_f32(app, aqq, apq):
+    """Jacobi rotation (c, s) from f32 entries (Golub-Van Loan 8.4.1)."""
+    tiny = jnp.float32(1e-30)
+    diag_scale = jnp.abs(app) + jnp.abs(aqq)
+    small = jnp.abs(apq) <= jnp.float32(1e-12) * diag_scale + tiny
+    safe_apq = jnp.where(small, jnp.float32(1.0), apq)
+    tau = (aqq - app) / (2.0 * safe_apq)
+    t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+    t = jnp.where(tau == 0.0, 1.0, t)
+    t = jnp.where(small, 0.0, t)
+    c = 1.0 / jnp.sqrt(1.0 + t * t)
+    s = t * c
+    return c, s
+
+
+def _nd_kernel(d: int, s: int, ig, ihs, ms_hi_ref, ms_lo_ref,
+               vals_hi_ref, vals_lo_ref, vecs_hi_ref, vecs_lo_ref):
+    """Eigenpairs of the d multiplication operators for one lane block.
+
+    ``ig``/``ihs`` are static (s, s) / (d, s, s) moment-index tables.
+    Outputs: vals (d*s, B), vecs (d*s*s, B) with vecs[m, i, j] = i-th
+    component of the j-th eigenvector of K_m.
+    """
+    def msrow(i) -> DF:
+        return DF(ms_hi_ref[i:i + 1, :], ms_lo_ref[i:i + 1, :])
+
+    # ---- equilibration factors --------------------------------------
+    cs = []
+    for j in range(s):
+        gjj = msrow(int(ig[j, j]))
+        gjj = dfm.where(gjj.hi <= jnp.float32(1e-30), dfm.df(1.0), gjj)
+        cs.append(dfm.div(dfm.df(1.0), dfm.sqrt(gjj)))
+
+    def gent(i, j) -> DF:
+        return dfm.mul(dfm.mul(cs[i], msrow(int(ig[i, j]))), cs[j])
+
+    # ---- LDL^T with true pivots (deferred completion) ----------------
+    pivot_diag = np.float32(_PIVOT_DIAG * s)
+    Lu = [[None] * s for _ in range(s)]   # unit-lower, Lu[i][j] for i > j
+    dpiv = [None] * s
+    scale = [None] * s
+    for j in range(s):
+        acc = [None] * s
+        for i in range(j, s):
+            a = gent(i, j) if i >= j else None
+            for k in range(j):
+                a = dfm.sub(a, dfm.mul(Lu[i][k], dfm.mul(dpiv[k], Lu[j][k])))
+            acc[i] = a
+        dj = acc[j]
+        tiny = jnp.float32(1e-35)
+        zero = jnp.abs(dj.hi) < tiny
+        dj = dfm.where(zero, dfm.df(tiny), dj)
+        bad = dj.hi <= 0.0
+        sq = dfm.sqrt(dfm.where(bad, dfm.df(1.0), dj))
+        scale[j] = DF(jnp.where(bad, pivot_diag, sq.hi),
+                      jnp.where(bad, 0.0, sq.lo))
+        dpiv[j] = dj
+        for i in range(j + 1, s):
+            Lu[i][j] = dfm.div(acc[i], dj)
+
+    # ---- per-dimension K_m and its eigenpairs ------------------------
+    schedule = _round_robin_schedule(s)
+    for m in range(d):
+        ih = ihs[m]
+
+        def hent(i, j) -> DF:
+            return dfm.mul(dfm.mul(cs[i], msrow(int(ih[i, j]))), cs[j])
+
+        # forward solve X = R^{-1} H  (R lower = Lu diag(scale)),
+        # column by column: x_r = (h_r - sum_{k<r} Lu[r][k] s_k x_k)/s_r
+        X = [[None] * s for _ in range(s)]
+        for c in range(s):
+            for r in range(s):
+                a = hent(r, c)
+                for k in range(r):
+                    a = dfm.sub(a, dfm.mul(Lu[r][k], dfm.mul(scale[k], X[k][c])))
+                X[r][c] = dfm.div(a, scale[r])
+        # second solve K = X R^{-T} == (R^{-1} X^T)^T, same recursion on
+        # the columns of X^T (= rows of X)
+        K = [[None] * s for _ in range(s)]
+        for c in range(s):
+            for r in range(s):
+                a = X[c][r]
+                for k in range(r):
+                    a = dfm.sub(a, dfm.mul(Lu[r][k], dfm.mul(scale[k], K[k][c])))
+                K[r][c] = dfm.div(a, scale[r])
+        # symmetrise
+        for i in range(s):
+            for j in range(i + 1, s):
+                avg = dfm.scale_f32(dfm.add(K[i][j], K[j][i]), jnp.float32(0.5))
+                K[i][j] = avg
+                K[j][i] = avg
+
+        # ---- phase 1: f32 Jacobi from identity -----------------------
+        a32 = [[K[i][j].hi for j in range(s)] for i in range(s)]
+        v32 = [[jnp.full_like(K[0][0].hi, 1.0 if i == j else 0.0)
+                for j in range(s)] for i in range(s)]
+        for _ in range(_F32_SWEEPS):
+            for ps, qs in schedule:
+                for p, q in zip(ps, qs):
+                    c, sn = _rot_f32(a32[p][p], a32[q][q], a32[p][q])
+                    for i in range(s):
+                        aip, aiq = a32[i][p], a32[i][q]
+                        a32[i][p] = c * aip - sn * aiq
+                        a32[i][q] = sn * aip + c * aiq
+                    for j in range(s):
+                        apj, aqj = a32[p][j], a32[q][j]
+                        a32[p][j] = c * apj - sn * aqj
+                        a32[q][j] = sn * apj + c * aqj
+                    for i in range(s):
+                        vip, viq = v32[i][p], v32[i][q]
+                        v32[i][p] = c * vip - sn * viq
+                        v32[i][q] = sn * vip + c * viq
+
+        # The composed f32 rotations are only ~1e-6 orthonormal; two
+        # double-f32 Newton-Schulz iterations square that error away
+        # (1e-6 -> 1e-12 -> floor) exactly as the 1D refined path does.
+        V = [[dfm.df(v32[i][j]) for j in range(s)] for i in range(s)]
+        for _ in range(2):
+            Gm = [[None] * s for _ in range(s)]  # V^T V
+            for i in range(s):
+                for j in range(s):
+                    acc = None
+                    for k in range(s):
+                        t = dfm.mul(V[k][i], V[k][j])
+                        acc = t if acc is None else dfm.add(acc, t)
+                    Gm[i][j] = acc
+            # W = 1.5 I - 0.5 G;  V <- V W
+            W = [[dfm.scale_f32(Gm[i][j], jnp.float32(-0.5)) for j in range(s)]
+                 for i in range(s)]
+            for i in range(s):
+                W[i][i] = dfm.add(W[i][i], dfm.df(1.5))
+            Vn = [[None] * s for _ in range(s)]
+            for i in range(s):
+                for j in range(s):
+                    acc = None
+                    for k in range(s):
+                        t = dfm.mul(V[i][k], W[k][j])
+                        acc = t if acc is None else dfm.add(acc, t)
+                    Vn[i][j] = acc
+            V = Vn
+
+        # rotate K into the orthonormalised eigenbasis: A1 = V^T K V
+        M = [[None] * s for _ in range(s)]  # K V
+        for i in range(s):
+            for j in range(s):
+                acc = None
+                for k in range(s):
+                    t = dfm.mul(K[i][k], V[k][j])
+                    acc = t if acc is None else dfm.add(acc, t)
+                M[i][j] = acc
+        A1 = [[None] * s for _ in range(s)]
+        for i in range(s):
+            for j in range(s):
+                acc = None
+                for k in range(s):
+                    t = dfm.mul(V[k][i], M[k][j])
+                    acc = t if acc is None else dfm.add(acc, t)
+                A1[i][j] = acc
+
+        # ---- phase 2: double-f32 Jacobi sweeps -----------------------
+        for _ in range(_DF_SWEEPS):
+            for ps, qs in schedule:
+                for p, q in zip(ps, qs):
+                    c32, s32 = _rot_f32(A1[p][p].hi, A1[q][q].hi, A1[p][q].hi)
+                    # renormalise (c, s) in DF so the rotation is
+                    # orthogonal to double-f32 precision even though the
+                    # angle itself is f32-accurate (enough: off-diagonal
+                    # shrinks quadratically regardless).
+                    cD, sD = dfm.df(c32), dfm.df(s32)
+                    nrm = dfm.sqrt(dfm.add(dfm.mul(cD, cD), dfm.mul(sD, sD)))
+                    cD = dfm.div(cD, nrm)
+                    sD = dfm.div(sD, nrm)
+                    for i in range(s):
+                        aip, aiq = A1[i][p], A1[i][q]
+                        A1[i][p] = dfm.sub(dfm.mul(cD, aip), dfm.mul(sD, aiq))
+                        A1[i][q] = dfm.add(dfm.mul(sD, aip), dfm.mul(cD, aiq))
+                    for j in range(s):
+                        apj, aqj = A1[p][j], A1[q][j]
+                        A1[p][j] = dfm.sub(dfm.mul(cD, apj), dfm.mul(sD, aqj))
+                        A1[q][j] = dfm.add(dfm.mul(sD, apj), dfm.mul(cD, aqj))
+                    for i in range(s):
+                        vip, viq = V[i][p], V[i][q]
+                        V[i][p] = dfm.sub(dfm.mul(cD, vip), dfm.mul(sD, viq))
+                        V[i][q] = dfm.add(dfm.mul(sD, vip), dfm.mul(cD, viq))
+
+        for j in range(s):
+            r = m * s + j
+            vals_hi_ref[r:r + 1, :] = A1[j][j].hi
+            vals_lo_ref[r:r + 1, :] = A1[j][j].lo
+        for i in range(s):
+            for j in range(s):
+                r = m * s * s + i * s + j
+                vecs_hi_ref[r:r + 1, :] = V[i][j].hi
+                vecs_lo_ref[r:r + 1, :] = V[i][j].lo
+
+
+class _ArrayRef:
+    """Minimal pl.Ref stand-in so the kernel body runs as plain jnp."""
+
+    def __init__(self, value=None, shape=None, dtype=jnp.float32):
+        self.value = value if value is not None else jnp.zeros(shape, dtype)
+
+    @property
+    def shape(self):
+        return self.value.shape
+
+    def __getitem__(self, idx):
+        return self.value[idx]
+
+    def __setitem__(self, idx, val):
+        self.value = self.value.at[idx].set(val)
+
+
+def run_nd_kernel_as_jnp(d, s, ig, ihs, ms_hi, ms_lo):
+    """Execute the kernel body outside Pallas (testing / CPU oracle)."""
+    B = ms_hi.shape[1]
+    outs = [
+        _ArrayRef(shape=(d * s, B)), _ArrayRef(shape=(d * s, B)),
+        _ArrayRef(shape=(d * s * s, B)), _ArrayRef(shape=(d * s * s, B)),
+    ]
+    _nd_kernel(d, s, ig, ihs, _ArrayRef(ms_hi), _ArrayRef(ms_lo), *outs)
+    return tuple(o.value for o in outs)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_nd_kernel(d: int, s: int, inds_key, block_b: int, interpret: bool):
+    inds = np.asarray(inds_key, dtype=np.int64).reshape(d + 1, s, s)
+    kern = functools.partial(_nd_kernel, d, s, inds[0], inds[1:])
+    return pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(2)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(4)],
+        out_shape=[
+            jax.ShapeDtypeStruct((d * s, block_b), jnp.float32),
+            jax.ShapeDtypeStruct((d * s, block_b), jnp.float32),
+            jax.ShapeDtypeStruct((d * s * s, block_b), jnp.float32),
+            jax.ShapeDtypeStruct((d * s * s, block_b), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+
+def nd_eigh_pallas(
+    ms: Array,
+    inds: np.ndarray,
+    block_b: int = 512,
+    interpret: bool = False,
+) -> Tuple[Array, Array]:
+    """Eigenpairs of the d multiplication operators via the fused kernel.
+
+    Parameters
+    ----------
+    ms : Array (..., z) f64 moment vectors.
+    inds : (d + 1, s, s) static index tables.
+
+    Returns
+    -------
+    vals : (..., d, s) f64, vecs : (..., d, s, s) f64 (columns are
+    eigenvectors) — same convention as the XLA path.
+    """
+    inds = np.asarray(inds, dtype=np.int64)
+    d, s = inds.shape[0] - 1, inds.shape[1]
+    if s > MAX_S:
+        raise ValueError(
+            f"fused N-D kernel supports s <= {MAX_S} (got s = {s}); "
+            "use the XLA path"
+        )
+    ms = jnp.asarray(ms)
+    in_dtype = ms.dtype
+    batch_shape = ms.shape[:-1]
+    z = ms.shape[-1]
+    B = int(np.prod(batch_shape)) if batch_shape else 1
+
+    ms2 = ms.reshape(B, z).T  # (z, B)
+    pad = (-B) % block_b
+    if pad:
+        filler = ms2[:, :1]
+        ms2 = jnp.concatenate([ms2, jnp.tile(filler, (1, pad))], axis=1)
+    Bp = B + pad
+
+    ms_df = dfm.from_f64(ms2)
+    key = tuple(int(v) for v in inds.reshape(-1))
+    call = _build_nd_kernel(d, s, key, block_b, interpret)
+    outs = []
+    with dfm.barrier_mode("none" if not interpret else "xla"):
+        for s0 in range(0, Bp, block_b):
+            sl = slice(s0, s0 + block_b)
+            outs.append(call(ms_df.hi[:, sl], ms_df.lo[:, sl]))
+    va_h = jnp.concatenate([o[0] for o in outs], axis=1)[:, :B]
+    va_l = jnp.concatenate([o[1] for o in outs], axis=1)[:, :B]
+    ve_h = jnp.concatenate([o[2] for o in outs], axis=1)[:, :B]
+    ve_l = jnp.concatenate([o[3] for o in outs], axis=1)[:, :B]
+
+    vals = dfm.to_f64(DF(va_h, va_l)).astype(in_dtype)
+    vecs = dfm.to_f64(DF(ve_h, ve_l)).astype(in_dtype)
+    vals = vals.T.reshape(batch_shape + (d, s))
+    vecs = vecs.T.reshape(batch_shape + (d, s, s))
+    return vals, vecs
