@@ -24,6 +24,8 @@ def main():
     p.add_argument("--gh-order", type=int, default=11)
     p.add_argument("--particles", type=int, default=10_000)
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--eigh-impl", default="refined",
+                   choices=["refined", "xla", "jacobi", "pallas"])
     args = p.parse_args()
     common.setup(args)
 
@@ -57,12 +59,13 @@ def main():
     rms0 = jnp.broadcast_to(model.init_cond.rms, (B, 2 * N))
     mf = jax.jit(
         lambda r0, y: moment_filter_rms(
-            trans.rms, model.measurement_cond_pdf, r0, y, stable=True
+            trans.rms, model.measurement_cond_pdf, r0, y,
+            stable=(args.eigh_impl != "pallas"), eigh_impl=args.eigh_impl,
         )
     )
     t_mf = timeit(mf, rms0, ys)
     common.emit(
-        dict(method=f"moment_filter_N{N}", trials=B, wall_time_s=round(t_mf, 4),
+        dict(method=f"moment_filter_N{N}_{args.eigh_impl}", trials=B, wall_time_s=round(t_mf, 4),
              per_trial_ms=round(t_mf / B * 1e3, 4))
     )
 
@@ -95,19 +98,24 @@ def main():
         m, v = tme.mean_and_var_1d(samples, model.dt, model.drift, model.dispersion, 2)
         return m + jnp.sqrt(v) * jax.random.normal(key, samples.shape)
 
-    def pf_one(y, key):
-        return bootstrap_filter(
-            transition_sampler, model.measurement_cond_pdf, y,
-            lambda k, n: model.init_cond.sampler(k, n),
-            key, args.particles, stratified,
-        )[1]
+    # The PF ensemble is capped: (T, trials, particles) trajectories are
+    # materialised by the filter output, so 1024 x 10k particles would
+    # need terabytes; 16 trials suffice for a stable per-trial time.
+    B_pf = min(B, 16)
 
-    keys = jax.random.split(key_pf, B)
-    pf = jax.jit(lambda ys_b, ks: jax.vmap(pf_one, in_axes=(1, 0))(ys_b, ks))
-    t_pf = timeit(pf, ys, keys)
+    def init_sampler(key, n):
+        return model.init_cond.sampler(key, B_pf * n).reshape(B_pf, n)
+
+    pf = jax.jit(
+        lambda ys_b: bootstrap_filter(
+            transition_sampler, model.measurement_cond_pdf, ys_b,
+            init_sampler, key_pf, args.particles, stratified,
+        )[1]
+    )
+    t_pf = timeit(pf, ys[:, :B_pf])
     common.emit(
-        dict(method=f"bootstrap_pf_{args.particles}", trials=B,
-             wall_time_s=round(t_pf, 4), per_trial_ms=round(t_pf / B * 1e3, 4))
+        dict(method=f"bootstrap_pf_{args.particles}", trials=B_pf,
+             wall_time_s=round(t_pf, 4), per_trial_ms=round(t_pf / B_pf * 1e3, 4))
     )
 
 
