@@ -82,6 +82,21 @@ def main():
             jax.block_until_ready(f(ms))
             ts.append(time.time() - t0)
         print(f"{impl:8s} steady per call: {1e3 * min(ts):.2f} ms")
+
+    # gradient path: the fused kernel's custom JVP routes tangents
+    # through the XLA implementation, so parameter-estimation gradients
+    # must match the pure-XLA path exactly at the primal point.
+    ms_small = ms[:8, :16]  # N=8 keeps the double grad cheap
+
+    def loss(m, impl):
+        w, x = moment_quadrature(m, eigh_impl=impl)
+        return jnp.sum(w * jnp.tanh(x))
+
+    g_p = jax.jit(jax.grad(lambda m: loss(m, "pallas")))(ms_small)
+    g_r = jax.jit(jax.grad(lambda m: loss(m, "refined")))(ms_small)
+    gdiff = float(jnp.max(jnp.abs(g_p - g_r) / (jnp.abs(g_r) + 1e-12)))
+    print(f"grad(pallas) vs grad(refined) max rel diff: {gdiff:.3e}")
+    assert gdiff < 1e-6, "fused-kernel gradient path diverged from XLA"
     print("TPU ACCURACY CHECK PASSED")
 
 
