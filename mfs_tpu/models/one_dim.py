@@ -29,6 +29,7 @@ class Model1D(NamedTuple):
     emission: Callable
     measurement_cond_pdf: Callable
     simulate: Callable  # (key, nsamples) -> xss (n, T)
+    simulate_trials: Callable = None  # (base_key, trial_ids) -> xss
 
 
 def benes_bernoulli(N: int = 2) -> Model1D:
@@ -77,6 +78,23 @@ def benes_bernoulli(N: int = 2) -> Model1D:
         )[:, 0]
         return jax.vmap(sim)(x0s, keys)
 
+    @partial(jax.jit, static_argnums=(2,))
+    def simulate_trials(base_key: Array, trial_ids: Array, integration_steps: int = 100):
+        """Per-trial-id reproducible ensemble: trial i depends only on
+        (base_key, i), so chunked sweeps produce identical trajectories
+        for any chunk size — the batch-first analogue of the reference's
+        shared ``rng_keys.npy`` protocol (``dardel/generate_rng_key.py``)."""
+
+        def one(i):
+            k = jax.random.fold_in(base_key, i)
+            kx, kp = jax.random.split(k)
+            x0 = init_cond.sampler(kx, 1)[0]
+            return simulate_sde(
+                m_and_cov, x0, dt, T, kp, integration_steps=integration_steps
+            )[:, 0]
+
+        return jax.vmap(one)(trial_ids)
+
     return Model1D(
         dt=dt,
         T=T,
@@ -87,6 +105,7 @@ def benes_bernoulli(N: int = 2) -> Model1D:
         emission=emission,
         measurement_cond_pdf=measurement_cond_pdf,
         simulate=simulate,
+        simulate_trials=simulate_trials,
     )
 
 

@@ -281,50 +281,6 @@ def _scale_powers_nd(scale: Array, multi_indices: np.ndarray) -> Array:
     return monomials_nd(scale, multi_indices)
 
 
-@lru_cache(maxsize=None)
-def _shift_transform_tables(mi_key):
-    """Static tables of the multi-binomial shift transform.
-
-    ``E[prod_i (U_i - m_i)^{k_i}] = sum_{j <= k} prod_i C(k_i, j_i)
-    (-m)^{k-j} E[prod_i U_i^{j_i}]`` — for every multi-index k in the
-    graded-lex basis, every componentwise-smaller j is also in the
-    basis, so the transform is a (z, z) matrix whose entries are
-    binomial constants times monomials of -m.  Returns
-    (k_idx, j_idx, coeffs, diff_idx) flat pair tables.
-    """
-    mi = np.asarray(mi_key, dtype=np.int64)
-    ranks = {tuple(int(v) for v in row): i for i, row in enumerate(mi)}
-    k_idx, j_idx, coeffs, diff_idx = [], [], [], []
-    for ki, k in enumerate(mi):
-        for j in itertools.product(*[range(int(c) + 1) for c in k]):
-            ja = np.asarray(j, dtype=np.int64)
-            c = 1.0
-            for a, b in zip(k, ja):
-                c *= math.comb(int(a), int(b))
-            k_idx.append(ki)
-            j_idx.append(ranks[tuple(int(v) for v in ja)])
-            coeffs.append(c)
-            diff_idx.append(ranks[tuple(int(v) for v in (k - ja))])
-    return (
-        np.asarray(k_idx),
-        np.asarray(j_idx),
-        np.asarray(coeffs),
-        np.asarray(diff_idx),
-    )
-
-
-def shifted_monomial_transform(mean: Array, multi_indices: np.ndarray) -> Array:
-    """(..., z, z) matrix T(m) with central = T(m) @ raw moments."""
-    mi = np.asarray(multi_indices, dtype=np.int64)
-    key = tuple(tuple(int(v) for v in row) for row in mi)
-    k_idx, j_idx, coeffs, diff_idx = _shift_transform_tables(key)
-    monos = monomials_nd(-jnp.asarray(mean), mi)  # (..., z)
-    z = mi.shape[0]
-    T = jnp.zeros(monos.shape[:-1] + (z, z), monos.dtype)
-    vals = jnp.asarray(coeffs, monos.dtype) * monos[..., diff_idx]
-    return T.at[..., k_idx, j_idx].add(vals)
-
-
 def sde_cond_moments_nd_tme(
     drift: Callable,
     dispersion: Callable,
@@ -334,42 +290,66 @@ def sde_cond_moments_nd_tme(
 ) -> TransitionMomentsND:
     """TME conditional moments of all monomials (no Normal closure).
 
-    One vector-valued TME expansion per node computes all z raw moments
+    One vector-valued TME expansion per node computes all z moments
     (reference re-expands per multi-index under a double vmap:
-    ``mfs/multi_dims/moments.py:414-479``); the central/scaled variants
-    and the conditional mean are all derived from that single raw pass
-    — ``cms`` applies the static multi-binomial shift transform (one
-    batched (z, z) matmul on the MXU) and ``mean`` gathers the
-    first-order rows, so inside one jitted filter step XLA CSE shares
-    one TME evaluation across all of them instead of re-running the
-    nested-JVP generator per callable.
+    ``mfs/multi_dims/moments.py:414-479``).  ``cms``/``scms`` evaluate
+    the *shifted/scaled monomials directly* through their own TME pass
+    — phi(u) = prod_i ((u_i - m_i)/s_i)^{k_i} — exactly like the 1D
+    factory and the reference: deriving central moments from the raw
+    pass by the binomial shift transform catastrophically cancels when
+    |mean| >> node spread (relative error ~1e2 on high-order central
+    moments at mean ~ 20, spread ~ 0.05), which is precisely the
+    drifted-state regime the central representation exists for.  The
+    conditional mean uses a cheap identity-phi expansion (d outputs vs
+    z for the monomial tower).
     """
     mi = np.asarray(multi_indices, dtype=np.int64)
     d = mi.shape[-1]
-    unit_rows = np.asarray(
-        [int(np.where((mi == np.eye(d, dtype=np.int64)[i]).all(axis=1))[0][0])
-         for i in range(d)]
-    )
+    z = mi.shape[0]
+
+    def _tme_monomials(nodes: Array, shift=None, scale=None) -> Array:
+        flat = nodes.reshape(-1, nodes.shape[-1])
+        if shift is None:
+            f = lambda x: tme.expectation(
+                lambda u: monomials_nd(u, mi), x, dt, drift, dispersion, tme_order
+            )
+            out = jax.vmap(f)(flat)
+        else:
+            def _per_node(v):
+                v = jnp.asarray(v)
+                if v.ndim == nodes.ndim - 1:
+                    v = v[..., None, :]
+                return jnp.broadcast_to(v, nodes.shape).reshape(
+                    -1, nodes.shape[-1]
+                )
+
+            shift_b = _per_node(shift)
+            scale_b = (
+                jnp.ones_like(shift_b) if scale is None else _per_node(scale)
+            )
+
+            def f(x, m0, s0):
+                phi = lambda u: monomials_nd((u - m0) / s0, mi)
+                return tme.expectation(phi, x, dt, drift, dispersion, tme_order)
+
+            out = jax.vmap(f)(flat, shift_b, scale_b)
+        return out.reshape(nodes.shape[:-1] + (z,))
 
     def rms(nodes: Array) -> Array:
-        phi = lambda u: monomials_nd(u, mi)
-        f = lambda x: tme.expectation(phi, x, dt, drift, dispersion, tme_order)
-        flat = nodes.reshape(-1, nodes.shape[-1])
-        return jax.vmap(f)(flat).reshape(nodes.shape[:-1] + (mi.shape[0],))
+        return _tme_monomials(nodes)
 
     def cms(nodes: Array, mean: Array) -> Array:
-        raw = rms(nodes)  # (..., m, z)
-        T = shifted_monomial_transform(mean, mi)  # (..., z, z)
-        return jnp.einsum("...kj,...mj->...mk", T, raw)
+        return _tme_monomials(nodes, shift=mean)
 
     def scms(nodes: Array, mean: Array, scale: Array) -> Array:
-        out = cms(nodes, mean)
-        scale = jnp.asarray(scale)
-        s = _scale_powers_nd(scale, mi)  # (..., z)
-        return out / s[..., None, :]
+        return _tme_monomials(nodes, shift=mean, scale=scale)
 
     def mean_fn(nodes: Array) -> Array:
-        return rms(nodes)[..., unit_rows]
+        f = lambda x: tme.expectation(
+            lambda u: u, x, dt, drift, dispersion, tme_order
+        )
+        flat = nodes.reshape(-1, nodes.shape[-1])
+        return jax.vmap(f)(flat).reshape(nodes.shape)
 
     def mean_var(nodes: Array) -> Tuple[Array, Array]:
         def f(x):

@@ -95,16 +95,29 @@ def moment_quadrature_nd(
     Hs = ms[..., inds[1:]]  # (..., d, s, s)
 
     if eigh_impl == "pallas":
-        # Fully fused double-f32 kernel: equilibrated LDL + solves +
-        # hybrid Jacobi eigenpairs in one VMEM program (completion is
-        # implicit, as in the 1D kernel).
-        from mfs_tpu.ops.pallas_quadrature_nd import nd_eigh_pallas
+        from mfs_tpu.ops.pallas_quadrature_nd import (
+            MAX_S,
+            nd_eigh_pallas,
+            nd_k_pallas,
+        )
 
-        vals, vecs = nd_eigh_pallas(ms, inds)
-        if sort_nodes:
-            order = jnp.argsort(vals, axis=-1)
-            vals = jnp.take_along_axis(vals, order, axis=-1)
-            vecs = jnp.take_along_axis(vecs, order[..., None, :], axis=-1)
+        if s <= MAX_S:
+            # Fully fused double-f32 kernel: equilibrated LDL + solves +
+            # hybrid Jacobi eigenpairs in one VMEM program (completion
+            # is implicit, as in the 1D kernel).
+            vals, vecs = nd_eigh_pallas(ms, inds)
+            if sort_nodes:
+                order = jnp.argsort(vals, axis=-1)
+                vals = jnp.take_along_axis(vals, order, axis=-1)
+                vecs = jnp.take_along_axis(vecs, order[..., None, :], axis=-1)
+        else:
+            # Column-layout kernel for the gather/LDL/solve pipeline
+            # (O(s^2) traced statements — no s gate), then the batched
+            # refined eigensolver: together they cover the large bases
+            # (2D N = 5..7+) the fused kernel's per-entry unrolling
+            # could not reach.
+            Ks = nd_k_pallas(ms, inds)
+            vals, vecs = eigh_refined(Ks, polish_sweeps=2, sort=sort_nodes)
     else:
         R = ldl_chol(G) if stable else jax.lax.linalg.cholesky(G)
         # Explicitly broadcast over the d multiplication matrices —

@@ -153,6 +153,28 @@ def _eigh_core(a: Array, sweeps: int) -> Tuple[Array, Array]:
     return _jacobi_eigh(a, sweeps)
 
 
+def _safe_gap_reciprocal(vals: Array, n: int) -> Array:
+    """Degeneracy-guarded 1/(w_j - w_i) for the eigh JVP.
+
+    The N-D multiplication operators have *structurally repeated*
+    eigenvalues (see ``multi_dims/quadrature.py``), where the raw
+    reciprocal gap is inf/NaN.  Within a degenerate cluster the choice
+    of basis is arbitrary and the downstream quadrature weights are
+    invariant under in-cluster rotations, so the correct tangent
+    contribution is zero: gaps below ``eps * spread`` are dropped, and
+    the survivors are clamped away from zero for safety.
+    """
+    gaps = vals[..., None, :] - vals[..., :, None]  # gaps[i, j] = w_j - w_i
+    off = ~jnp.eye(n, dtype=bool)
+    spread = (
+        jnp.max(vals, axis=-1) - jnp.min(vals, axis=-1)
+    )[..., None, None] + jnp.finfo(vals.dtype).tiny
+    degenerate = jnp.abs(gaps) <= 1e-9 * spread
+    keep = off & ~degenerate
+    mag = jnp.maximum(jnp.abs(gaps), 1e-12 * spread)
+    return jnp.where(keep, jnp.sign(gaps) / mag, 0.0)
+
+
 @_eigh_core.defjvp
 def _eigh_core_jvp(sweeps, primals, tangents):
     (a,) = primals
@@ -161,11 +183,7 @@ def _eigh_core_jvp(sweeps, primals, tangents):
     da = 0.5 * (da + jnp.swapaxes(da, -1, -2))
     s = jnp.einsum("...ji,...jk,...kl->...il", vecs, da, vecs)
     dvals = jnp.diagonal(s, axis1=-2, axis2=-1)
-    gaps = vals[..., None, :] - vals[..., :, None]  # gaps[i, j] = w_j - w_i
-    n = a.shape[-1]
-    off = ~jnp.eye(n, dtype=bool)
-    safe = jnp.where(off, gaps, 1.0)
-    f = jnp.where(off, 1.0 / safe, 0.0)
+    f = _safe_gap_reciprocal(vals, a.shape[-1])
     dvecs = jnp.einsum("...ik,...kj->...ij", vecs, f * s)
     return (vals, vecs), (dvals, dvecs)
 
@@ -212,9 +230,15 @@ def _eigh_refined_core(a: Array, polish_sweeps: int) -> Tuple[Array, Array]:
     # (the stages below restore f64), and the TPU's emulated-f64 eigh
     # returns NaN outright on matrices with structurally repeated
     # eigenvalues (observed on the N-D multiplication operators), while
-    # the f32 path is robust and faster.
+    # the f32 path is robust and faster.  Pre-scale by 1/max|a| so
+    # entries outside the f32 range (raw-moment operators of wide-spread
+    # states overflow; extreme scaled modes underflow) stay
+    # representable — eigenvectors are scale-invariant so the seed is
+    # unchanged where no over/underflow occurs.
+    scale = jnp.max(jnp.abs(a), axis=(-2, -1), keepdims=True)
+    scale = jnp.where(scale > 0, scale, 1.0)
     vecs0, _ = jax.lax.linalg.eigh(
-        a.astype(jnp.float32), sort_eigenvalues=False
+        (a / scale).astype(jnp.float32), sort_eigenvalues=False
     )
     vecs0 = vecs0.astype(a.dtype)
     # Stage 1b: one Newton–Schulz iteration re-orthonormalises the
@@ -267,11 +291,7 @@ def _eigh_refined_core_jvp(polish_sweeps, primals, tangents):
     da = 0.5 * (da + jnp.swapaxes(da, -1, -2))
     s = jnp.einsum("...ji,...jk,...kl->...il", vecs, da, vecs)
     dvals = jnp.diagonal(s, axis1=-2, axis2=-1)
-    gaps = vals[..., None, :] - vals[..., :, None]
-    n = a.shape[-1]
-    off = ~jnp.eye(n, dtype=bool)
-    safe = jnp.where(off, gaps, 1.0)
-    f = jnp.where(off, 1.0 / safe, 0.0)
+    f = _safe_gap_reciprocal(vals, a.shape[-1])
     dvecs = jnp.einsum("...ik,...kj->...ij", vecs, f * s)
     return (vals, vecs), (dvals, dvecs)
 

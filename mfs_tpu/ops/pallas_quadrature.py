@@ -41,6 +41,10 @@ from mfs_tpu.typings import Array
 
 _F32_BISECT_ITERS = 32
 _DF_NEWTON_ITERS = 8
+# Module-level default for pallas_call's interpret mode: tests flip
+# this to True to run the *exact* pallas_call path (not just the jnp
+# oracle) on the CPU backend.
+INTERPRET = False
 # After the f32 phase the bracket is re-widened by this fraction of the
 # spectral range: the f32 Sturm count's flip point is displaced by up
 # to ~n * 2^-24 of the range, so a 2^-17 margin guarantees the true
@@ -161,11 +165,16 @@ def _quadrature_kernel(n: int, ms_hi_ref, ms_lo_ref, mean_ref, scale_ref,
                 acc, dfm.mul(Lunits[k], dfm.mul(ds[k], getrow(Lunits[k], j)))
             )
         d = getrow(acc, j)
-        # zero-pivot guard (f32 can hit exact 0; keep the sign)
-        tiny = jnp.float32(1e-35)
-        zero = jnp.abs(d.hi) < tiny
-        d = dfm.where(zero, dfm.df(tiny), d)
+        # PD-loss test on the TRUE pivot first: exact zeros and
+        # negatives take the completion branch below.
         bad = d.hi <= 0.0
+        # zero-pivot guard for the division (f32 can hit exact 0);
+        # sign-preserving so a tiny-negative pivot stays negative.
+        tiny = jnp.float32(1e-35)
+        signed_tiny = DF(
+            jnp.where(d.hi < 0.0, -tiny, tiny), jnp.zeros_like(d.hi)
+        )
+        d = dfm.where(jnp.abs(d.hi) < tiny, signed_tiny, d)
         sqrt_d = dfm.sqrt(dfm.where(bad, dfm.df(1.0), d))
         scale_j = DF(
             jnp.where(bad, pivot_diag, sqrt_d.hi),
@@ -367,7 +376,7 @@ def moment_quadrature_pallas(
     mean=0.0,
     scale=1.0,
     block_b: int = 512,
-    interpret: bool = False,
+    interpret: bool = None,
 ) -> Tuple[Array, Array]:
     """Drop-in fused-kernel counterpart of ``moment_quadrature``.
 
@@ -375,7 +384,14 @@ def moment_quadrature_pallas(
     (f64 in, f64 out); internally computes with double-f32 precision
     (~2^-45).  Not differentiable by itself — see
     ``moment_quadrature_fused`` for the autodiff-composable wrapper.
+
+    Mass convention: the Christoffel weights carry the measure mass,
+    ``sum_k w_k = m_0`` (the XLA path returns the normalized rule,
+    ``sum_k w_k = 1``).  The filters always pass normalized moment
+    vectors (m_0 = 1), where the two conventions coincide.
     """
+    if interpret is None:
+        interpret = INTERPRET
     ms = jnp.asarray(ms)
     in_dtype = ms.dtype
     batch_shape = ms.shape[:-1]
@@ -430,22 +446,98 @@ def moment_quadrature_pallas(
     )
 
 
+def _solve_f32_refined(a, b, iters: int = 4):
+    """Batched linear solve: equilibrated f32 LU + f64 refinement.
+
+    TPU's LuDecomposition expander only implements F32/C64, so a plain
+    f64 ``jnp.linalg.solve`` fails to compile there.  The confluent
+    Vandermonde systems solved here are badly *scaled* (row j grows
+    like max|t|^j; the dnode columns carry weights down to ~1e-8), so
+    max-abs row+column equilibration is applied first — it removes the
+    artificial part of the conditioning so the f32 factorisation is an
+    effective preconditioner; true-f64 residual refinement
+    (x <- x + C (RAC)^{-1} R (b - A x)) then restores f64 accuracy.
+    """
+    import jax.scipy.linalg as jsl
+
+    tiny = jnp.finfo(a.dtype).tiny
+    row_s = 1.0 / jnp.maximum(jnp.max(jnp.abs(a), axis=-1), tiny)
+    a1 = a * row_s[..., :, None]
+    col_s = 1.0 / jnp.maximum(jnp.max(jnp.abs(a1), axis=-2), tiny)
+    a2 = a1 * col_s[..., None, :]
+
+    lu, piv = jsl.lu_factor(a2.astype(jnp.float32))
+
+    def precond_solve(r):
+        y = jsl.lu_solve((lu, piv), (r * row_s[..., :, None]).astype(jnp.float32))
+        return col_s[..., :, None] * y.astype(a.dtype)
+
+    x = precond_solve(b)
+    for _ in range(iters):
+        r = b - jnp.einsum("...ij,...jk->...ik", a, x)
+        x = x + precond_solve(r)
+    return x
+
+
 @jax.custom_jvp
 def moment_quadrature_fused(ms, mean, scale):
-    """Fused Pallas quadrature with XLA-path derivatives.
+    """Fused Pallas quadrature with implicit-function derivatives.
 
-    Primal: the double-f32 Pallas kernel.  Tangent: the JVP of the
-    XLA-composed ``moment_quadrature`` (identical mathematical map), so
-    parameter-estimation gradients keep working.
+    Primal: the double-f32 Pallas kernel.  Tangent: the quadrature is
+    the (locally unique) solution of the moment-reproduction system
+
+        sum_k w_k lam_k^j = m_j,   j = 0 .. 2n-1,
+
+    so its exact Jacobian is the inverse of the confluent Vandermonde
+    matrix at the primal nodes — one batched (2n, 2n) linear solve,
+    instead of re-running the entire f64 XLA quadrature pipeline the
+    way the old tangent rule did (~10x the work).  See ``_fused_jvp``.
     """
     return moment_quadrature_pallas(ms, mean, scale)
 
 
 @moment_quadrature_fused.defjvp
 def _fused_jvp(primals, tangents):
-    from mfs_tpu.one_dim.quadrature import moment_quadrature as mq_xla
+    ms, mean, scale = primals
+    dms, dmean, dscale = tangents
+    w, x = moment_quadrature_fused(ms, mean, scale)
 
-    out, tangent_out = jax.jvp(
-        lambda m, mu, sc: mq_xla(m, mu, sc), primals, tangents
-    )
-    return out, tangent_out
+    n = w.shape[-1]
+    dtype = w.dtype
+    mean_b = jnp.asarray(mean, dtype)[..., None]
+    scale_b = jnp.asarray(scale, dtype)[..., None]
+    lam = (x - mean_b) / scale_b  # eigenvalue frame: sum w lam^j = ms_j
+
+    # Precondition: work with t = lam / sigma for a *constant* (primal,
+    # stop-gradient) frame scale sigma ~ std, so the Vandermonde powers
+    # stay O(1) regardless of the moment mode.  The identity becomes
+    # sum_k w_k t_k^j = m_j / sigma^j with d(rhs)_j = dms_j / sigma^j.
+    m0 = jnp.maximum(ms[..., 0], jnp.finfo(dtype).tiny)
+    sigma = jax.lax.stop_gradient(
+        jnp.sqrt(jnp.maximum(ms[..., 2] / m0, jnp.finfo(dtype).tiny))
+    )[..., None]
+    t = lam / sigma
+
+    # Confluent Vandermonde in the t frame:
+    #   rows j = 0..2n-1;  columns [dw_k | dt_k]:
+    #   d m~_j = sum_k t_k^j dw_k + sum_k j w_k t_k^{j-1} dt_k.
+    powers = [jnp.ones_like(t)]
+    for _ in range(2 * n - 1):
+        powers.append(powers[-1] * t)
+    P = jnp.stack(powers, axis=-2)  # (..., 2n, n): t_k^j
+    j_col = jnp.arange(2 * n, dtype=dtype)[:, None]
+    dPdt = j_col * jnp.concatenate(
+        [jnp.zeros_like(P[..., :1, :]), P[..., :-1, :]], axis=-2
+    )  # j * t^{j-1}, with the j = 0 row exactly zero
+    A = jnp.concatenate([P, w[..., None, :] * dPdt], axis=-1)  # (..., 2n, 2n)
+
+    sig_pows = sigma ** jnp.arange(2 * n, dtype=dtype)
+    rhs = (jnp.asarray(dms, dtype) / sig_pows)[..., None]
+    sol = _solve_f32_refined(A, rhs)[..., 0]
+    dw = sol[..., :n]
+    dlam = sol[..., n:] * sigma
+
+    dmean_b = jnp.asarray(dmean, dtype)[..., None]
+    dscale_b = jnp.asarray(dscale, dtype)[..., None]
+    dx = dscale_b * lam + scale_b * dlam + dmean_b
+    return (w, x), (dw, dx)

@@ -48,6 +48,8 @@ MAX_S = 10
 _F32_SWEEPS = 6
 _DF_SWEEPS = 2
 _PIVOT_DIAG = 1e-8
+# Tests flip this to run pallas_call in interpret mode on CPU.
+INTERPRET = False
 
 
 def _rot_f32(app, aqq, apq):
@@ -99,10 +101,14 @@ def _nd_kernel(d: int, s: int, ig, ihs, ms_hi_ref, ms_lo_ref,
                 a = dfm.sub(a, dfm.mul(Lu[i][k], dfm.mul(dpiv[k], Lu[j][k])))
             acc[i] = a
         dj = acc[j]
-        tiny = jnp.float32(1e-35)
-        zero = jnp.abs(dj.hi) < tiny
-        dj = dfm.where(zero, dfm.df(tiny), dj)
+        # PD-loss test on the TRUE pivot first (exact zeros -> completion
+        # branch), then a sign-preserving guard for the division.
         bad = dj.hi <= 0.0
+        tiny = jnp.float32(1e-35)
+        signed_tiny = DF(
+            jnp.where(dj.hi < 0.0, -tiny, tiny), jnp.zeros_like(dj.hi)
+        )
+        dj = dfm.where(jnp.abs(dj.hi) < tiny, signed_tiny, dj)
         sq = dfm.sqrt(dfm.where(bad, dfm.df(1.0), dj))
         scale[j] = DF(jnp.where(bad, pivot_diag, sq.hi),
                       jnp.where(bad, 0.0, sq.lo))
@@ -247,6 +253,227 @@ def _nd_kernel(d: int, s: int, ig, ihs, ms_hi_ref, ms_lo_ref,
                 vecs_lo_ref[r:r + 1, :] = V[i][j].lo
 
 
+# ---------------------------------------------------------------------------
+# Column-layout K-builder kernel (no s <= 10 gate)
+# ---------------------------------------------------------------------------
+#
+# The per-entry kernel above unrolls O(s^3) traced statements per solve,
+# which bounds it to s <= 10.  This kernel instead works on whole
+# (s, B)-wide *columns* (the 1D kernel's layout): the equilibrated
+# Gram/multiplication matrices are gathered by exact one-hot MXU dots,
+# the LDL and the two unit-triangular solves run column-by-column with
+# O(s^2) wide statements, and the eigendecomposition of the resulting
+# K_m (the only O(s^3)-statement stage) is done OUTSIDE the kernel by
+# ``eigh_refined`` — batched f32 XLA eigh + a few true-f64 matmuls,
+# which XLA/MXU already handle well at any s.
+
+
+def _nd_k_kernel(d: int, s: int, oh_ref, ms_hi_ref, ms_lo_ref,
+                 k_hi_ref, k_lo_ref):
+    """Build the d multiplication operators K_m for one lane block.
+
+    ``oh_ref``: ((d+1)*s*s, z) 0/1 f32 input; chunk m's row j*s + i
+    selects moment index table m's [i, j] entry (column-major: column j
+    is a contiguous row slice); chunk 0 is the Gram matrix, chunks
+    1..d the H_m.  Outputs (d*s*s, B) with row (m*s + i)*s + j =
+    K_m[i, j].
+    """
+    b = ms_hi_ref.shape[1]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (s, b), 0)
+    ms_hi = ms_hi_ref[:, :]
+    ms_lo = ms_lo_ref[:, :]
+
+    def gather(m):
+        oh = oh_ref[m * s * s:(m + 1) * s * s, :]
+        return DF(
+            jax.lax.dot(oh, ms_hi, precision=jax.lax.Precision.HIGHEST),
+            jax.lax.dot(oh, ms_lo, precision=jax.lax.Precision.HIGHEST),
+        )
+
+    Gflat = gather(0)  # (s*s, B), column-major
+
+    def gcol(flat: DF, j) -> DF:
+        return DF(flat.hi[j * s:(j + 1) * s, :], flat.lo[j * s:(j + 1) * s, :])
+
+    def getrow(x: DF, i) -> DF:
+        return DF(x.hi[i:i + 1, :], x.lo[i:i + 1, :])
+
+    # ---- equilibration: c_j = 1 / sqrt(G_jj) --------------------------
+    cs = []
+    for j in range(s):
+        gjj = getrow(gcol(Gflat, j), j)
+        gjj = dfm.where(gjj.hi <= jnp.float32(1e-30), dfm.df(1.0), gjj)
+        cs.append(dfm.div(dfm.df(1.0), dfm.sqrt(gjj)))
+    cvec = DF(
+        jnp.concatenate([c.hi for c in cs], axis=0),
+        jnp.concatenate([c.lo for c in cs], axis=0),
+    )
+
+    # ---- LDL^T of the equilibrated Gram, column-wise ------------------
+    pivot_diag = np.float32(_PIVOT_DIAG * s)
+    Lcols = []   # unit-lower columns (zeros above diag, 1 on diag)
+    dpivs = []   # true pivots (1, B)
+    scales = []  # R' diagonal: sqrt(d) or completion value
+    inv_scales = []
+    for j in range(s):
+        acc = dfm.mul(dfm.mul(cvec, gcol(Gflat, j)), cs[j])
+        for k in range(j):
+            acc = dfm.sub(
+                acc, dfm.mul(Lcols[k], dfm.mul(dpivs[k], getrow(Lcols[k], j)))
+            )
+        dj = getrow(acc, j)
+        bad = dj.hi <= 0.0
+        tiny = jnp.float32(1e-35)
+        signed_tiny = DF(
+            jnp.where(dj.hi < 0.0, -tiny, tiny), jnp.zeros_like(dj.hi)
+        )
+        dj = dfm.where(jnp.abs(dj.hi) < tiny, signed_tiny, dj)
+        sq = dfm.sqrt(dfm.where(bad, dfm.df(1.0), dj))
+        scale_j = DF(jnp.where(bad, pivot_diag, sq.hi),
+                     jnp.where(bad, 0.0, sq.lo))
+        cu = dfm.div(acc, dj)
+        below = row_ids > j
+        on = row_ids == j
+        cu = DF(
+            jnp.where(on, 1.0, jnp.where(below, cu.hi, 0.0)),
+            jnp.where(on, 0.0, jnp.where(below, cu.lo, 0.0)),
+        )
+        Lcols.append(cu)
+        dpivs.append(dj)
+        scales.append(scale_j)
+        inv_scales.append(dfm.div(dfm.df(1.0), scale_j))
+
+    # ---- per-dimension K_m by two unit-triangular solves --------------
+    # K = S^{-1} (Lu^{-1} H' Lu^{-T}) S^{-1} with S = diag(scales):
+    # unit solves need no divisions in the inner loop.
+    inv_scale_vec = DF(
+        jnp.concatenate([sc.hi for sc in inv_scales], axis=0),
+        jnp.concatenate([sc.lo for sc in inv_scales], axis=0),
+    )
+    for m in range(d):
+        Hflat = gather(m + 1)
+
+        # forward solve W = Lu^{-1} H', column by column
+        Wcols = []
+        for c in range(s):
+            v = dfm.mul(dfm.mul(cvec, gcol(Hflat, c)), cs[c])
+            rows = []
+            for k in range(s):
+                xk = getrow(v, k)
+                rows.append(xk)
+                if k < s - 1:
+                    v = dfm.sub(v, dfm.mul(Lcols[k], xk))
+            Wcols.append(DF(
+                jnp.concatenate([r.hi for r in rows], axis=0),
+                jnp.concatenate([r.lo for r in rows], axis=0),
+            ))
+
+        # second solve: Y^T = Lu^{-1} W^T, i.e. Y = W Lu^{-T}; work on
+        # the columns of W^T (= rows of W), then K = S^{-1} Y S^{-1}.
+        for i in range(s):
+            # row i of W as an (s, B) block (column i of W^T)
+            v = DF(
+                jnp.concatenate([getrow(Wcols[c], i).hi for c in range(s)], axis=0),
+                jnp.concatenate([getrow(Wcols[c], i).lo for c in range(s)], axis=0),
+            )
+            rows = []
+            for k in range(s):
+                xk = getrow(v, k)
+                rows.append(xk)
+                if k < s - 1:
+                    v = dfm.sub(v, dfm.mul(Lcols[k], xk))
+            # K_m[i, j] = rows[j] * inv_scale_i * inv_scale_j
+            krow = DF(
+                jnp.concatenate([r.hi for r in rows], axis=0),
+                jnp.concatenate([r.lo for r in rows], axis=0),
+            )
+            krow = dfm.mul(dfm.mul(krow, inv_scales[i]), inv_scale_vec)
+            base = (m * s + i) * s
+            k_hi_ref[base:base + s, :] = krow.hi
+            k_lo_ref[base:base + s, :] = krow.lo
+
+
+@functools.lru_cache(maxsize=None)
+def _nd_onehots(inds_key, d: int, s: int, z: int):
+    inds = np.asarray(inds_key, dtype=np.int64).reshape(d + 1, s, s)
+    oh = np.zeros((d + 1, s * s, z), np.float32)
+    for m in range(d + 1):
+        for j in range(s):
+            for i in range(s):
+                oh[m, j * s + i, inds[m, i, j]] = 1.0
+    return oh
+
+
+@functools.lru_cache(maxsize=None)
+def _build_nd_k_kernel(d: int, s: int, z: int, block_b: int,
+                       interpret: bool):
+    kern = functools.partial(_nd_k_kernel, d, s)
+    return pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(3)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(2)],
+        out_shape=[
+            jax.ShapeDtypeStruct((d * s * s, block_b), jnp.float32)
+            for _ in range(2)
+        ],
+        interpret=interpret,
+    )
+
+
+def nd_k_pallas(
+    ms: Array,
+    inds: np.ndarray,
+    block_b: int = 512,
+    interpret: bool = None,
+) -> Array:
+    """The d multiplication operators K_m via the column-layout kernel.
+
+    Unlike ``nd_eigh_pallas`` there is NO s gate: the O(s^3) eigen
+    stage stays outside (pair with ``eigh_refined``).
+
+    Parameters
+    ----------
+    ms : Array (..., z) f64 moment vectors.
+    inds : (d + 1, s, s) static index tables.
+
+    Returns
+    -------
+    Ks : (..., d, s, s) f64, symmetrised.
+    """
+    if interpret is None:
+        interpret = INTERPRET
+    inds = np.asarray(inds, dtype=np.int64)
+    d, s = inds.shape[0] - 1, inds.shape[1]
+    ms = jnp.asarray(ms)
+    in_dtype = ms.dtype
+    batch_shape = ms.shape[:-1]
+    z = ms.shape[-1]
+    B = int(np.prod(batch_shape)) if batch_shape else 1
+
+    ms2 = ms.reshape(B, z).T
+    pad = (-B) % block_b
+    if pad:
+        ms2 = jnp.concatenate([ms2, jnp.tile(ms2[:, :1], (1, pad))], axis=1)
+    Bp = B + pad
+
+    ms_df = dfm.from_f64(ms2)
+    key = tuple(int(v) for v in inds.reshape(-1))
+    oh = jnp.asarray(
+        _nd_onehots(key, d, s, z).reshape((d + 1) * s * s, z)
+    )
+    call = _build_nd_k_kernel(d, s, z, block_b, interpret)
+    outs = []
+    with dfm.barrier_mode("none" if not interpret else "xla"):
+        for s0 in range(0, Bp, block_b):
+            sl = slice(s0, s0 + block_b)
+            outs.append(call(oh, ms_df.hi[:, sl], ms_df.lo[:, sl]))
+    k_h = jnp.concatenate([o[0] for o in outs], axis=1)[:, :B]
+    k_l = jnp.concatenate([o[1] for o in outs], axis=1)[:, :B]
+    Ks = dfm.to_f64(DF(k_h, k_l)).astype(in_dtype)
+    Ks = Ks.T.reshape(batch_shape + (d, s, s))
+    return 0.5 * (Ks + jnp.swapaxes(Ks, -1, -2))
+
+
 class _ArrayRef:
     """Minimal pl.Ref stand-in so the kernel body runs as plain jnp."""
 
@@ -297,7 +524,7 @@ def nd_eigh_pallas(
     ms: Array,
     inds: np.ndarray,
     block_b: int = 512,
-    interpret: bool = False,
+    interpret: bool = None,
 ) -> Tuple[Array, Array]:
     """Eigenpairs of the d multiplication operators via the fused kernel.
 
@@ -311,6 +538,8 @@ def nd_eigh_pallas(
     vals : (..., d, s) f64, vecs : (..., d, s, s) f64 (columns are
     eigenvectors) — same convention as the XLA path.
     """
+    if interpret is None:
+        interpret = INTERPRET
     inds = np.asarray(inds, dtype=np.int64)
     d, s = inds.shape[0] - 1, inds.shape[1]
     if s > MAX_S:

@@ -28,7 +28,7 @@ from mfs_tpu.filters.gaussian import (
 from mfs_tpu.filters.grid import brute_force_filter
 from mfs_tpu.filters.resampling import multinomial, stratified, systematic
 from mfs_tpu.filters.sigma_points import SigmaPoints, gaussian_expectation
-from mfs_tpu.filters.smc import bootstrap_filter
+from mfs_tpu.filters.smc import bootstrap_filter, particle_filter
 from mfs_tpu.utils.gaussian import discretise_lti_sde
 
 # OU model: dX = -X dt + q dW;  Y_k = X_k + r_k.
@@ -203,6 +203,58 @@ def test_bootstrap_pf_batched_trials(kalman):
             np.asarray(pf_means[:, b]), np.asarray(kalman[0][:, 0]), atol=2e-1
         )
         np.testing.assert_allclose(float(nell[b]), float(kalman[2][-1]), rtol=5e-2)
+    # independent resampling noise => trials differ
+    assert float(jnp.max(jnp.abs(pf_means[:, 0] - pf_means[:, 1]))) > 1e-4
+
+
+def test_particle_filter_optimal_proposal_batched(kalman):
+    """Proposal-based SMC with the locally-optimal proposal
+    p(x_k | x_{k-1}, y_k) (Gaussian for this linear model) tracks the
+    KF; batched trials exercise the inserted particle axis on y."""
+    B = 2
+    F, Q = F_MAT[0, 0], Q_MAT[0, 0]
+    # posterior of x | x_prev, y: precision-weighted combination
+    v_opt = 1.0 / (1.0 / Q + 1.0 / XI)
+    chol_opt = jnp.sqrt(v_opt)
+
+    def _normal_pdf(x, m, v):
+        return jnp.exp(-0.5 * (x - m) ** 2 / v) / jnp.sqrt(2 * jnp.pi * v)
+
+    def proposal_sampler(ancestors, y, key):
+        m = v_opt * (F * ancestors / Q + y / XI)
+        return m + chol_opt * jax.random.normal(key, ancestors.shape)
+
+    def proposal_density(samples, ancestors, y):
+        m = v_opt * (F * ancestors / Q + y / XI)
+        return _normal_pdf(samples, m, v_opt)
+
+    def transition_density(samples, ancestors):
+        return _normal_pdf(samples, F * ancestors, Q)
+
+    def meas_pdf(y, x):
+        return _normal_pdf(y, x, XI)
+
+    def init_sampler(key, n):
+        return M0[0] + jnp.sqrt(V0[0, 0]) * jax.random.normal(key, (B, n))
+
+    ys_b = jnp.broadcast_to(YS[:, None], (YS.shape[0], B))
+    samples = particle_filter(
+        proposal_sampler,
+        proposal_density,
+        transition_density,
+        meas_pdf,
+        ys_b,
+        init_sampler,
+        jax.random.PRNGKey(1),
+        4000,
+        stratified,
+    )
+    assert samples.shape == (YS.shape[0], B, 4000)
+    pf_means = jnp.mean(samples, axis=-1)  # (T, B)
+    for b in range(B):
+        np.testing.assert_allclose(
+            np.asarray(pf_means[:, b]), np.asarray(kalman[0][:, 0]), atol=2e-1
+        )
     # independent resampling noise => trials differ
     assert float(jnp.max(jnp.abs(pf_means[:, 0] - pf_means[:, 1]))) > 1e-4
 

@@ -156,6 +156,68 @@ def test_nd_scms_matches_nd_cms():
     np.testing.assert_allclose(np.asarray(scales_s[:, 0] ** 2), var_c, rtol=1e-7)
 
 
+def test_nd_cms_far_from_origin_no_cancellation():
+    """Central transition moments at |mean| >> node spread.
+
+    Regression for the binomial-shift formulation (central = T(m) @ raw)
+    that catastrophically cancelled in this regime (relative error ~1e2
+    at mean ~ 20, spread ~ 0.05); the direct shifted-monomial TME pass
+    must track the exact linear-SDE oracle to TME truncation error.
+    """
+    N = 3
+    mis, _ = _order(N, 2)
+    # Driftless diffusion: the TME expansion of a degree-(2N-1)
+    # polynomial terminates (each generator application lowers the
+    # degree by 2), so order 3 is EXACT and the oracle isolates
+    # round-off from truncation.
+    Bq = jnp.array([[0.1, 0.02], [0.0, 0.08]])
+    drift = lambda x: jnp.zeros_like(x)
+    disp = lambda x: Bq
+    trans = sde_cond_moments_nd_tme(drift, disp, DT, 3, mis)
+
+    mean = jnp.array([20.0, -15.0])
+    nodes = mean + 0.05 * jnp.asarray(
+        np.random.RandomState(0).randn(4, 2)
+    )  # (m, d) cluster far from the origin
+    got = trans.cms(nodes, mean)  # (m, z)
+    exact = raw_moments_mvn_kan_all(nodes - mean, Bq @ Bq.T * DT, mis)
+    scale = jnp.maximum(jnp.abs(exact), 1e-12)
+    assert float(jnp.max(jnp.abs(got - exact) / scale)) < 1e-8
+
+
+def test_nd_cms_nell_gradient_finite_and_correct():
+    """d nell / d theta through the full N-D central-moment filter:
+    finite (degenerate-eigenvalue JVP guard) and matching central
+    finite differences (SURVEY §7 'Differentiating through eigh')."""
+    N = 2
+    ys = _data()[:6]
+    mis, inds = _order(N, 2)
+    ys_nd = jnp.stack([ys, -ys], axis=-1)
+    cms0 = raw_moments_mvn_kan_all(jnp.zeros(2), VAR0 * jnp.eye(2), mis)
+    mean0 = MEAN0 * jnp.ones(2)
+
+    def meas_nd(y, x):
+        return jnp.prod(
+            jnp.exp(-0.5 * (y - x) ** 2 / XI) / jnp.sqrt(2 * jnp.pi * XI), axis=-1
+        )
+
+    def nell_of(theta):
+        drift = lambda x: -theta * x
+        disp = lambda x: 0.7 * jnp.eye(2)
+        trans = sde_cond_moments_nd_tme(drift, disp, DT, 2, mis)
+        _, _, nell = moment_filter_nd_cms(
+            trans.cms, trans.mean, meas_nd, ys_nd, (mis, inds), cms0, mean0
+        )
+        return nell
+
+    theta0 = 0.8
+    g = jax.grad(nell_of)(theta0)
+    assert bool(jnp.isfinite(g))
+    eps = 1e-4
+    fd = (nell_of(theta0 + eps) - nell_of(theta0 - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(g), float(fd), rtol=5e-4)
+
+
 def test_prey_predator_smoke_batched():
     """2D prey–predator short run: finite results, batch == per-trial."""
     from mfs_tpu.models.multi_dims import prey_predator
