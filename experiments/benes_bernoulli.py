@@ -3,7 +3,10 @@
 TPU-native counterpart of reference ``dardel/benes_bernoulli/mf.py`` +
 ``run_benes_bernoulli_mf.sh``: instead of one OS process per trial, the
 whole ensemble runs as one batched scan; N / mode / closure sweeps are
-plain loops over jitted programs.
+plain loops over jitted programs.  Trials are processed in resumable
+chunks (``common.run_chunked``): each chunk's data depends only on
+(seed, trial id), a crashed sweep resumes at chunk granularity, and the
+merged npz is identical for any chunk size.
 
 Usage:
     python experiments/benes_bernoulli.py --trials 1000 --Ns 3 5 8 11 15 \
@@ -18,8 +21,15 @@ import jax.numpy as jnp
 from experiments import common
 
 
-def run(N, mode, closure, trials, seed, stable=True, tme_order=2,
-        eigh_impl="refined"):
+def cell_name(N, mode, closure, seed, eigh_impl="refined"):
+    name = f"mf_N{N}_{mode}_{closure}_s{seed}"
+    if eigh_impl != "refined":
+        name += f"_{eigh_impl}"
+    return name
+
+
+def run_cell(N, mode, closure, trials, seed, chunk=None, stable=True,
+             tme_order=2, eigh_impl="refined"):
     from mfs_tpu.models import benes_bernoulli
     from mfs_tpu.one_dim.filtering import (
         moment_filter_cms,
@@ -28,56 +38,72 @@ def run(N, mode, closure, trials, seed, stable=True, tme_order=2,
     )
     from mfs_tpu.sde import sde_cond_moments_tme, sde_cond_moments_tme_normal
 
+    chunk = chunk or trials
     model = benes_bernoulli(N=N)
     factory = (
         sde_cond_moments_tme_normal if closure == "tme-normal" else sde_cond_moments_tme
     )
     trans = factory(model.drift, model.dispersion, model.dt, tme_order, N)
-
     key_sim, key_meas = jax.random.split(jax.random.PRNGKey(seed))
-    xss = model.simulate(key_sim, trials)  # (trials, T)
-    yss = jax.random.bernoulli(key_meas, model.emission(xss)).astype(xss.dtype)
-    ys = jnp.swapaxes(yss, 0, 1)  # (T, trials)
-
     ic = model.init_cond
-    if mode == "raw":
-        rms0 = jnp.broadcast_to(ic.rms, (trials, 2 * N))
-        fn = jax.jit(
-            lambda r0, y: moment_filter_rms(
-                trans.rms, model.measurement_cond_pdf, r0, y, stable=stable,
-                eigh_impl=eigh_impl
-            )
-        )
-        (mss, nell), dt_run = common.timed_call(fn, rms0, ys)
-        means = mss[..., 1]
-        variances = mss[..., 2] - means**2
-    elif mode == "central":
-        cms0 = jnp.broadcast_to(ic.cms, (trials, 2 * N))
-        fn = jax.jit(
-            lambda c0, y: moment_filter_cms(
-                trans.cms, trans.mean, model.measurement_cond_pdf, c0,
-                ic.mean * jnp.ones(trials), y, stable=stable,
-                eigh_impl=eigh_impl
-            )
-        )
-        (mss, means, nell), dt_run = common.timed_call(fn, cms0, ys)
-        variances = mss[..., 2]
-    else:  # scaled
-        scms0 = jnp.broadcast_to(ic.scms, (trials, 2 * N))
-        fn = jax.jit(
-            lambda s0, y: moment_filter_scms(
-                trans.scms, trans.mean_var, model.measurement_cond_pdf, s0,
-                ic.mean * jnp.ones(trials), jnp.sqrt(ic.variance) * jnp.ones(trials),
-                y, stable=stable, eigh_impl=eigh_impl
-            )
-        )
-        (mss, means, scales, nell), dt_run = common.timed_call(fn, scms0, ys)
-        variances = scales**2
 
-    finite = jnp.isfinite(mss.reshape(mss.shape[0], trials, -1)).all(axis=(0, 2))
-    return dict(
-        moments=mss, means=means, variances=variances, nell=nell,
-        xss=xss, yss=yss, finite=finite, wall_time=dt_run,
+    def run_chunk(lo, n):
+        ids = jnp.arange(lo, lo + n)
+        xss = model.simulate_trials(key_sim, ids)  # (n, T)
+        meas_keys = jax.vmap(lambda i: jax.random.fold_in(key_meas, i))(ids)
+        yss = jax.vmap(
+            lambda k, x: jax.random.bernoulli(k, model.emission(x))
+        )(meas_keys, xss).astype(xss.dtype)
+        ys = jnp.swapaxes(yss, 0, 1)  # (T, n)
+
+        if mode == "raw":
+            rms0 = jnp.broadcast_to(ic.rms, (n, 2 * N))
+            fn = jax.jit(
+                lambda r0, y: moment_filter_rms(
+                    trans.rms, model.measurement_cond_pdf, r0, y, stable=stable,
+                    eigh_impl=eigh_impl
+                )
+            )
+            (mss, nell), dt_run = common.timed_call(fn, rms0, ys)
+            means = mss[..., 1]
+            variances = mss[..., 2] - means**2
+        elif mode == "central":
+            cms0 = jnp.broadcast_to(ic.cms, (n, 2 * N))
+            fn = jax.jit(
+                lambda c0, y: moment_filter_cms(
+                    trans.cms, trans.mean, model.measurement_cond_pdf, c0,
+                    ic.mean * jnp.ones(n), y, stable=stable,
+                    eigh_impl=eigh_impl
+                )
+            )
+            (mss, means, nell), dt_run = common.timed_call(fn, cms0, ys)
+            variances = mss[..., 2]
+        else:  # scaled
+            scms0 = jnp.broadcast_to(ic.scms, (n, 2 * N))
+            fn = jax.jit(
+                lambda s0, y: moment_filter_scms(
+                    trans.scms, trans.mean_var, model.measurement_cond_pdf, s0,
+                    ic.mean * jnp.ones(n), jnp.sqrt(ic.variance) * jnp.ones(n),
+                    y, stable=stable, eigh_impl=eigh_impl
+                )
+            )
+            (mss, means, scales, nell), dt_run = common.timed_call(fn, scms0, ys)
+            variances = scales**2
+
+        finite = jnp.isfinite(mss.reshape(mss.shape[0], n, -1)).all(axis=(0, 2))
+        out = dict(
+            moments=mss, means=means, variances=variances, nell=nell,
+            xss=xss, yss=yss, finite=finite, wall_time=dt_run,
+        )
+        if mode == "scaled":
+            out["scales"] = scales
+        return out
+
+    return common.run_chunked(
+        "benes_bernoulli", cell_name(N, mode, closure, seed, eigh_impl),
+        trials, chunk, run_chunk,
+        trial_axes={"moments": 1, "means": 1, "variances": 1, "scales": 1},
+        sum_keys=("wall_time",),
     )
 
 
@@ -88,21 +114,18 @@ def main():
     p.add_argument("--closure", choices=["tme", "tme-normal"], default="tme-normal")
     p.add_argument("--tme-order", type=int, default=2)
     p.add_argument("--no-stable", action="store_true")
+    p.add_argument("--chunk", type=int, default=None)
     p.add_argument("--eigh-impl", default="refined",
                    choices=["refined", "xla", "jacobi", "pallas"])
     args = p.parse_args()
     common.setup(args)
 
     for N in args.Ns:
-        out = run(
+        out, path = run_cell(
             N, args.mode, args.closure, args.trials, args.seed,
-            stable=not args.no_stable, tme_order=args.tme_order,
-            eigh_impl=args.eigh_impl,
+            chunk=args.chunk, stable=not args.no_stable,
+            tme_order=args.tme_order, eigh_impl=args.eigh_impl,
         )
-        name = f"mf_N{N}_{args.mode}_{args.closure}_s{args.seed}"
-        if args.eigh_impl != "refined":
-            name += f"_{args.eigh_impl}"
-        path = common.save_results("benes_bernoulli", name, **out)
         common.emit(
             dict(
                 experiment="benes_bernoulli", N=N, mode=args.mode,

@@ -39,6 +39,69 @@ def load_results(experiment: str, name: str):
     return np.load(os.path.join(RESULTS_DIR, experiment, f"{name}.npz"))
 
 
+def run_chunked(
+    experiment: str,
+    name: str,
+    trials: int,
+    chunk: int,
+    run_chunk,
+    trial_axes: Optional[dict] = None,
+    sum_keys: tuple = (),
+):
+    """Resumable chunked Monte-Carlo sweep.
+
+    ``run_chunk(trial_lo, n) -> dict`` computes trials
+    ``[trial_lo, trial_lo + n)``; each chunk is persisted as
+    ``<name>.part<k>.npz`` and *skipped on re-run* if the file exists,
+    so a crashed sweep resumes at chunk granularity (the batch-first
+    counterpart of the reference's one-npz-per-trial Slurm protocol,
+    ``dardel/benes_bernoulli/mf.py:83-92``).  After all chunks exist
+    they are merged into ``<name>.npz`` (concatenated along
+    ``trial_axes.get(key, 0)``; 0-d entries are summed when listed in
+    ``sum_keys``, else taken from the last chunk) and the part files
+    are removed.
+
+    Chunk results must be reproducible per trial id (use
+    ``model.simulate_trials`` / ``trial_keys``) for the merge to be
+    independent of the chunk size.
+    """
+    out_dir = os.path.join(RESULTS_DIR, experiment)
+    os.makedirs(out_dir, exist_ok=True)
+    final = os.path.join(out_dir, f"{name}.npz")
+    bounds = [(lo, min(chunk, trials - lo)) for lo in range(0, trials, chunk)]
+    if os.path.exists(final):
+        return dict(np.load(final)), final
+
+    parts = []
+    for ci, (lo, n) in enumerate(bounds):
+        ppath = os.path.join(out_dir, f"{name}.part{ci}.npz")
+        if os.path.exists(ppath):
+            parts.append(dict(np.load(ppath)))
+            continue
+        out = {k: np.asarray(v) for k, v in run_chunk(lo, n).items()}
+        tmp = ppath + ".tmp.npz"
+        np.savez_compressed(tmp, **out)
+        os.replace(tmp, ppath)
+        parts.append(out)
+
+    merged = {}
+    for k in parts[0]:
+        if parts[0][k].ndim == 0:
+            vals = [p[k] for p in parts]
+            merged[k] = np.sum(vals) if k in sum_keys else vals[-1]
+        else:
+            ax = (trial_axes or {}).get(k, 0)
+            merged[k] = np.concatenate([p[k] for p in parts], axis=ax)
+    tmp = final + ".tmp.npz"
+    np.savez_compressed(tmp, **merged)
+    os.replace(tmp, final)
+    for ci in range(len(bounds)):
+        ppath = os.path.join(out_dir, f"{name}.part{ci}.npz")
+        if os.path.exists(ppath):
+            os.remove(ppath)
+    return merged, final
+
+
 def timed_call(fn, *args, warmup: bool = True):
     """The reference's timing protocol: one warm-up call (compile), then
     wall clock around a blocked call (``dardel/time_profile/mf.py:83-106``)."""

@@ -47,13 +47,14 @@ def brute_force_truth(yss, grid_lo=-6.0, grid_hi=6.0, grid_n=2000, substeps=100)
     return jnp.swapaxes(pss, 0, 1), xs_grid
 
 
-def cf_errors(moments, pss, xs_grid, zs, mean=None):
+def cf_errors(moments, pss, xs_grid, zs, mean=None, scale=None):
     """sup/L1/L2 characteristic-function distances, (trials, T) each.
 
     Assembled from two einsums so the (trials, T, z, grid) cross
     product is never materialised (a naive doubly-vmapped trapezoid
     needs tens of GB at the reference's z = 2000, grid = 2000).
-    ``mean`` (T, trials) re-centres central-mode moment vectors.
+    ``mean``/``scale`` (T, trials) re-centre/re-scale central- and
+    scaled-mode moment vectors.
     """
     from mfs_tpu.one_dim.quadrature import moment_quadrature
 
@@ -71,8 +72,12 @@ def cf_errors(moments, pss, xs_grid, zs, mean=None):
     ms = jnp.swapaxes(moments, 0, 1)  # (trials, T, 2N)
     if mean is None:
         w, x = moment_quadrature(ms, stable=True)
-    else:
+    elif scale is None:
         w, x = moment_quadrature(ms, jnp.swapaxes(mean, 0, 1), stable=True)
+    else:
+        w, x = moment_quadrature(
+            ms, jnp.swapaxes(mean, 0, 1), jnp.swapaxes(scale, 0, 1), stable=True
+        )
     cf_est = jnp.einsum(
         "btn,btnz->btz",
         w.astype(phase.dtype),
@@ -88,21 +93,28 @@ def cf_errors(moments, pss, xs_grid, zs, mean=None):
     )
 
 
-def cf_errors_chunked(moments, pss, xs_grid, zs, mean=None, chunk=64):
+def cf_errors_chunked(moments, pss, xs_grid, zs, mean=None, scale=None, chunk=64):
     """Chunk the trial axis so the (chunk, T, n, z) phase tensor stays
     in memory at 1000-trial scale."""
     trials = pss.shape[0]
     outs = []
-    fn = jax.jit(cf_errors) if mean is None else jax.jit(
-        lambda m, ps, xs, z, mn: cf_errors(m, ps, xs, z, mean=mn)
-    )
+    if mean is None:
+        fn = jax.jit(cf_errors)
+    elif scale is None:
+        fn = jax.jit(lambda m, ps, xs, z, mn: cf_errors(m, ps, xs, z, mean=mn))
+    else:
+        fn = jax.jit(
+            lambda m, ps, xs, z, mn, sc: cf_errors(m, ps, xs, z, mean=mn, scale=sc)
+        )
     for s0 in range(0, trials, chunk):
         sl = slice(s0, s0 + chunk)
         m_c = moments[:, sl]
         if mean is None:
             outs.append(fn(m_c, pss[sl], xs_grid, zs))
-        else:
+        elif scale is None:
             outs.append(fn(m_c, pss[sl], xs_grid, zs, mean[:, sl]))
+        else:
+            outs.append(fn(m_c, pss[sl], xs_grid, zs, mean[:, sl], scale[:, sl]))
     return tuple(jnp.concatenate([o[i] for o in outs], axis=0) for i in range(3))
 
 

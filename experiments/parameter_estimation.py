@@ -23,6 +23,8 @@ def main():
     p.add_argument("--true-p1", type=float, default=3.0)
     p.add_argument("--true-p2", type=float, default=3.0)
     p.add_argument("--opt-steps", type=int, default=100)
+    p.add_argument("--eigh-impl", default="refined",
+                   choices=["refined", "xla", "jacobi", "pallas"])
     args = p.parse_args()
     common.setup(args)
 
@@ -47,6 +49,7 @@ def main():
             trans.cms, trans.mean,
             lambda y, u: meas_pmf(y, u, p2),
             ic.cms, ic.mean, ys_one,
+            eigh_impl=args.eigh_impl,
         )
         return out
 
