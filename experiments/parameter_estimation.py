@@ -10,6 +10,8 @@ SciPy process per trial.
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import json
+
 import jax
 import jax.numpy as jnp
 
@@ -25,6 +27,8 @@ def main():
     p.add_argument("--opt-steps", type=int, default=100)
     p.add_argument("--eigh-impl", default="refined",
                    choices=["refined", "xla", "jacobi", "pallas"])
+    p.add_argument("--grad-bench", action="store_true",
+                   help="also time one batched grad(sum nell) per eigh impl")
     args = p.parse_args()
     common.setup(args)
 
@@ -75,16 +79,77 @@ def main():
     common.save_results(
         "parameter_estimation", f"mf_N{N}_s{args.seed}", p_hat=p_hat, nell=final_nell
     )
-    common.emit(
-        dict(
-            experiment="parameter_estimation", N=N, trials=B, T=args.T,
-            p1_mean=float(jnp.mean(p_hat[finite, 0])),
-            p1_std=float(jnp.std(p_hat[finite, 0])),
-            p2_mean=float(jnp.mean(p_hat[finite, 1])),
-            p2_std=float(jnp.std(p_hat[finite, 1])),
-            wall_time_s=round(float(dt_run), 3),
-        )
+    mle_row = dict(
+        experiment="parameter_estimation", N=N, trials=B, T=args.T,
+        eigh_impl=args.eigh_impl,
+        divergent=int(B - finite.sum()),
+        p1_mean=float(jnp.mean(p_hat[finite, 0])),
+        p1_std=float(jnp.std(p_hat[finite, 0])),
+        p2_mean=float(jnp.mean(p_hat[finite, 1])),
+        p2_std=float(jnp.std(p_hat[finite, 1])),
+        wall_time_s=round(float(dt_run), 3),
+        trials_per_sec=round(B / float(dt_run), 2),
     )
+    common.emit(mle_row)
+
+    # --- gradient-throughput ablation (VERDICT r02 item 3) ---
+    # One batched grad(sum nell) evaluation at the init point per
+    # eigh implementation: the quantity L-BFGS spends its time on.
+    grad_rows = []
+    if args.grad_bench:
+        params0 = jnp.array([0.5, 0.5])
+        for impl in ["pallas", "refined", "xla"]:
+            def nell_impl(params, ys_one, impl=impl):
+                p1 = jnp.logaddexp(0.0, params[0])
+                p2 = jnp.logaddexp(0.0, params[1])
+                trans = sde_cond_moments_euler(lambda u: drift(u, p1), disp, dt, N)
+                _, _, out = moment_filter_cms(
+                    trans.cms, trans.mean,
+                    lambda y, u: meas_pmf(y, u, p2),
+                    ic.cms, ic.mean, ys_one, eigh_impl=impl,
+                )
+                return out
+
+            g = jax.jit(
+                jax.grad(
+                    lambda p, ys_b: jnp.sum(
+                        jax.vmap(lambda y: nell_impl(p, y), in_axes=1)(ys_b)
+                    )
+                )
+            )
+            try:
+                gval, t_g = common.timed_call(g, params0, ys)
+            except Exception as e:  # an impl may not be available off-TPU
+                grad_rows.append(dict(eigh_impl=impl, error=str(e)[:200]))
+                continue
+            row = dict(
+                eigh_impl=impl, trials=B, T=args.T,
+                grad_wall_time_s=round(float(t_g), 3),
+                grad_trials_per_sec=round(B / float(t_g), 2),
+                grad_l2=float(jnp.linalg.norm(gval)),
+            )
+            grad_rows.append(row)
+            common.emit(row)
+
+    out = dict(
+        protocol=(
+            f"Well-Poisson MLE, (p1,p2)=({args.true_p1},{args.true_p2}), "
+            f"T={args.T}, N={N}, {B} MC trials, batched on-device BFGS "
+            f"(softplus reparam, {args.opt_steps} iters) on the "
+            f"moment_filter_cms nell; counterpart of "
+            f"dardel/parameter_estimation/mf.py:37-77 (SciPy L-BFGS-B, "
+            f"one process per trial).  grad_rows: one batched "
+            f"grad(sum nell) at the init point per eigh implementation."
+        ),
+        hardware="single TPU v5e chip",
+        mle=mle_row,
+        grad_rows=grad_rows,
+    )
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "SUMMARY_parameter_estimation.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", path)
 
 
 if __name__ == "__main__":
