@@ -13,13 +13,16 @@ The headline path runs the fused double-f32 Pallas quadrature kernel
 measured both faster and more accurate than the XLA-composed f64 path
 at N=15 (worst moment reconstruction error 2.5e-10 vs 1.5e-5).
 
-``vs_baseline`` compares against the BEST CPU configuration measured on
-this host (the reference's hardware class): the strongest of
+``vs_baseline`` compares against the BEST CPU configuration (the
+reference's hardware class): the strongest of
 (a) the reference repo's own ``moment_filter_cms`` (its code, imported
     from /root/reference, single-trial sequential — its execution model,
     ``dardel/run_benes_bernoulli_mf.sh:26-31``),
 (b) this repo's filter, single-trial sequential on CPU,
-(c) this repo's batched filter on CPU.
+(c) this repo's batched filter on CPU,
+(d) the best CPU number ever recorded on this host (142 trials/s,
+    BASELINE.md) — a pinned floor on the denominator, so the ratio is
+    never flattered by background load on the 1-core host.
 The full table is printed to stderr and written to BENCH_ABLATION.json;
 stdout carries exactly one JSON line.
 """
@@ -225,17 +228,15 @@ def main():
         for k, v in results.items()
         if k.startswith("cpu_") and "trials_per_s" in v
     ]
-    if cpu_vals:
-        best_cpu = max(cpu_vals)
-    else:
-        # all CPU baselines failed (should not happen): fall back to
-        # the last committed ablation's value so the line stays numeric
-        try:
-            with open(os.path.join(
-                    os.path.dirname(__file__), "BENCH_ABLATION.json")) as f:
-                best_cpu = json.load(f)["best_cpu_trials_per_s"]
-        except Exception:
-            best_cpu = 59.5  # round-2 measured value (BASELINE.md)
+    # The 1-core host's CPU throughput wobbles 2-4x with load, which
+    # put +-2x of noise on the committed vs_baseline denominator
+    # (VERDICT r02 "What's weak" 5).  Pin the denominator to the BEST
+    # CPU measurement ever recorded (142 trials/s at N=15, BASELINE.md
+    # round 2) unless today's machine measures even faster — the ratio
+    # is then conservative (never flattered by a loaded host) and
+    # stable across rounds.
+    BEST_CPU_EVER = 142.0
+    best_cpu = max(cpu_vals + [BEST_CPU_EVER])
     results["headline"] = head_name
     results["best_cpu_trials_per_s"] = best_cpu
     print(json.dumps(results, indent=2, default=float), file=sys.stderr)
