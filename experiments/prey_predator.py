@@ -23,6 +23,10 @@ def main():
     p.add_argument("--tme-order", type=int, default=2)
     p.add_argument("--eigh-impl", default="refined",
                    choices=["refined", "xla", "jacobi", "pallas"])
+    p.add_argument("--transition", default="autodiff",
+                   choices=["autodiff", "poly"],
+                   help="poly = closed-form matmul TME with the fused "
+                        "predict contraction (central mode only)")
     args = p.parse_args()
     common.setup(args)
 
@@ -45,6 +49,19 @@ def main():
     trans = sde_cond_moments_nd_tme(
         model.drift, model.dispersion, model.dt, args.tme_order, mis
     )
+    predict_fn = None
+    if args.transition == "poly":
+        from mfs_tpu.multi_dims import poly_tme_nd
+
+        poly = poly_tme_nd(
+            model.drift, model.dispersion, model.dt, args.tme_order, mis,
+            drift_deg=2, dispersion_deg=1,
+        )
+        # central mode gets the fused weight-inside-the-tower predict;
+        # scaled mode uses the per-node poly callables (still matmul
+        # towers, no autodiff) through the unchanged filter interface.
+        predict_fn = poly.predict_cms
+        trans = poly
     ic = model.init_cond
     if args.mode == "central":
         cms0 = jnp.broadcast_to(ic.cms, (B,) + ic.cms.shape)
@@ -53,6 +70,7 @@ def main():
             lambda c0, m0, y: moment_filter_nd_cms(
                 trans.cms, trans.mean, model.measurement_cond_pdf, y,
                 (mis, inds), c0, m0, eigh_impl=args.eigh_impl,
+                predict_fn=predict_fn,
             )
         )
         (cmss, means, nell), dt_run = common.timed_call(fn, cms0, mean0, ys)
@@ -77,14 +95,18 @@ def main():
 
     err = jnp.abs(means - xss[: args.T])  # (T, B, 2)
     finite = jnp.isfinite(means).all(axis=(0, 2))
+    tag = "" if args.transition == "autodiff" else f"_{args.transition}"
+    if args.eigh_impl != "refined":
+        tag += f"_{args.eigh_impl}"
     common.save_results(
-        "prey_predator", f"mf_N{N}_{args.mode}_s{args.seed}",
+        "prey_predator", f"mf_N{N}_{args.mode}_s{args.seed}{tag}",
         means=means, nell=nell, xss=xss[: args.T], finite=finite,
     )
     common.emit(
         dict(
             experiment="prey_predator", N=N, mode=args.mode, trials=B,
-            T=args.T, divergent=int(B - finite.sum()),
+            T=args.T, transition=args.transition, eigh_impl=args.eigh_impl,
+            divergent=int(B - finite.sum()),
             mean_abs_err=float(jnp.mean(jnp.where(finite[None, :, None], err, 0.0))),
             wall_time_s=round(float(dt_run), 3),
         )

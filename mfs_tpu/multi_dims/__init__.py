@@ -20,6 +20,7 @@ from mfs_tpu.multi_dims.moments import (
     sde_cond_moments_nd_tme_normal,
     sde_cond_moments_nd_euler_maruyama,
 )
+from mfs_tpu.multi_dims.poly_tme import poly_tme_nd
 from mfs_tpu.multi_dims.quadrature import moment_quadrature_nd
 from mfs_tpu.multi_dims.filtering import (
     moment_filter_nd_rms,

@@ -13,7 +13,7 @@ second quadrature → Bayes update of the graded-lex moment vector, the
 per-dimension means/scales (from the unit multi-indices), and the
 running negative log likelihood.
 """
-from typing import Any, Callable, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -104,10 +104,17 @@ def moment_filter_nd_cms(
     mean0: Array,
     stable: bool = False,
     eigh_impl: str = "refined",
+    predict_fn: Optional[Callable] = None,
 ) -> Tuple[Array, Array, Array]:
     r"""N-D moment filter, central-moment representation.
 
     Carries (cms (..., z), mean (..., d)).
+
+    ``predict_fn(weights, nodes, mean) -> (pred_mean, pred_cms)``, when
+    given, replaces the two per-node transition contractions with one
+    fused call (the polynomial-TME fast path,
+    ``multi_dims/poly_tme.py:PolyTME.predict_cms``, which moves the
+    weight contraction inside the TME tower).
 
     Returns
     -------
@@ -123,10 +130,13 @@ def moment_filter_nd_cms(
         weights, nodes = moment_quadrature_nd(
             cms, inds, mean, stable=stable, eigh_impl=eigh_impl
         )
-        mean = jnp.einsum("...md,...m->...d", state_cond_mean(nodes), weights)
-        cms = jnp.einsum(
-            "...mz,...m->...z", state_cond_central_moments(nodes, mean), weights
-        )
+        if predict_fn is not None:
+            mean, cms = predict_fn(weights, nodes, mean)
+        else:
+            mean = jnp.einsum("...md,...m->...d", state_cond_mean(nodes), weights)
+            cms = jnp.einsum(
+                "...mz,...m->...z", state_cond_central_moments(nodes, mean), weights
+            )
 
         weights, nodes = moment_quadrature_nd(
             cms, inds, mean, stable=stable, eigh_impl=eigh_impl
