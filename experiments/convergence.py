@@ -68,6 +68,7 @@ def main():
 
     xs, ys = simulate(args.trials, args.seed)
     kf_m, kf_v = kalman_batch(ys)
+    rows = []
 
     drift = lambda x: -x / ELL
     disp = lambda x: math.sqrt(2.0) * SIGMA / math.sqrt(ELL)
@@ -91,15 +92,31 @@ def main():
             "convergence", f"mf_N{N}_s{args.seed}",
             means=means, variances=variances, kf_m=kf_m, kf_v=kf_v, nell=nell,
         )
-        common.emit(
-            dict(
-                experiment="convergence", N=N, trials=args.trials,
-                abs_mean_err=float(jnp.mean(abs_m)),
-                abs_var_err=float(jnp.mean(abs_v)),
-                gauss_kl=float(jnp.mean(kl)),
-                wall_time_s=round(float(dt_run), 4),
-            )
+        row = dict(
+            experiment="convergence", N=N, trials=args.trials,
+            abs_mean_err=float(jnp.mean(abs_m)),
+            abs_var_err=float(jnp.mean(abs_v)),
+            gauss_kl=float(jnp.mean(kl)),
+            wall_time_s=round(float(dt_run), 4),
         )
+        rows.append(row)
+        common.emit(row)
+
+    import json
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "SUMMARY_convergence.json")
+    with open(out, "w") as f:
+        json.dump(
+            dict(
+                protocol="OU/Matern-1/2 vs exact KF, raw mode, TME-3, "
+                         f"T={T}, dt={DT}, batched trials "
+                         "(reference dardel/convergence/convergence_mf.py)",
+                seed=args.seed, rows=rows,
+            ),
+            f, indent=1,
+        )
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":

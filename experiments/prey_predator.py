@@ -26,7 +26,7 @@ def main():
     p.add_argument("--transition", default="autodiff",
                    choices=["autodiff", "poly"],
                    help="poly = closed-form matmul TME with the fused "
-                        "predict contraction (central mode only)")
+                        "predict contraction (both modes)")
     args = p.parse_args()
     common.setup(args)
 
@@ -57,10 +57,10 @@ def main():
             model.drift, model.dispersion, model.dt, args.tme_order, mis,
             drift_deg=2, dispersion_deg=1,
         )
-        # central mode gets the fused weight-inside-the-tower predict;
-        # scaled mode uses the per-node poly callables (still matmul
-        # towers, no autodiff) through the unchanged filter interface.
-        predict_fn = poly.predict_cms
+        # Both modes get the fused weight-inside-the-tower predict.
+        predict_fn = (
+            poly.predict_cms if args.mode == "central" else poly.predict_scms
+        )
         trans = poly
     ic = model.init_cond
     if args.mode == "central":
@@ -87,6 +87,7 @@ def main():
             lambda s0, m0, sc0, y: moment_filter_nd_scms(
                 trans.scms, trans.mean_var, model.measurement_cond_pdf, y,
                 (mis, inds), s0, m0, sc0, eigh_impl=args.eigh_impl,
+                predict_fn=predict_fn,
             )
         )
         (scmss, means, scales, nell), dt_run = common.timed_call(

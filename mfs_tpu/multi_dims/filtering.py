@@ -172,6 +172,7 @@ def moment_filter_nd_scms(
     scale0: Array,
     stable: bool = False,
     eigh_impl: str = "refined",
+    predict_fn: Optional[Callable] = None,
 ) -> Tuple[Array, Array, Array, Array]:
     r"""N-D moment filter, scaled-central representation.
 
@@ -179,6 +180,11 @@ def moment_filter_nd_scms(
     per-dimension scales come from the doubled unit multi-indices of
     the unnormalised posterior (reference:
     ``mfs/multi_dims/filtering.py:180-204``).
+
+    ``predict_fn(weights, nodes, mean, scale) -> (pred_mean,
+    pred_scale, pred_scms)``, when given, replaces the per-node
+    transition contractions with one fused call (the polynomial-TME
+    fast path, ``multi_dims/poly_tme.py:PolyTME.predict_scms``).
 
     Returns
     -------
@@ -194,19 +200,23 @@ def moment_filter_nd_scms(
         weights, nodes = moment_quadrature_nd(
             scms, inds, mean, scale, stable=stable, eigh_impl=eigh_impl
         )
-        cond_means, cond_vars = state_cond_mean_vars(nodes)
-        mean = jnp.einsum("...md,...m->...d", cond_means, weights)
-        # Full predicted per-dimension std via the law of total variance
-        # (the reference keeps only E[cond_var]: ``mfs/multi_dims/
-        # filtering.py:189`` — see the 1D filter for why that explodes
-        # the scaled representation at high orders).
-        second = jnp.einsum(
-            "...md,...m->...d", cond_vars + cond_means**2, weights
-        )
-        scale = jnp.sqrt(second - mean**2)
-        scms = jnp.einsum(
-            "...mz,...m->...z", state_cond_scms(nodes, mean, scale), weights
-        )
+        if predict_fn is not None:
+            mean, scale, scms = predict_fn(weights, nodes, mean, scale)
+        else:
+            cond_means, cond_vars = state_cond_mean_vars(nodes)
+            mean = jnp.einsum("...md,...m->...d", cond_means, weights)
+            # Full predicted per-dimension std via the law of total
+            # variance (the reference keeps only E[cond_var]:
+            # ``mfs/multi_dims/filtering.py:189`` — see the 1D filter
+            # for why that explodes the scaled representation at high
+            # orders).
+            second = jnp.einsum(
+                "...md,...m->...d", cond_vars + cond_means**2, weights
+            )
+            scale = jnp.sqrt(second - mean**2)
+            scms = jnp.einsum(
+                "...mz,...m->...z", state_cond_scms(nodes, mean, scale), weights
+            )
 
         weights, nodes = moment_quadrature_nd(
             scms, inds, mean, scale, stable=stable, eigh_impl=eigh_impl

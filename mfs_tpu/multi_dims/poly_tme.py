@@ -204,6 +204,8 @@ class PolyTME(NamedTuple):
     b_table: _ShiftTable
     a_slots: np.ndarray  # (d, zc_a) -> op index
     b_slots: np.ndarray  # (d, d, zc_b) -> op index
+    small_z: int  # sub-basis size reachable by coordinate towers
+    pair_rank: np.ndarray  # (small_z, small_z) -> ext rank of α+β
 
     def frame_coefs(self, m: Array, s: Array) -> Array:
         """Per-trial scalars c_t(m, s): (..., n_ops)."""
@@ -282,6 +284,98 @@ class PolyTME(NamedTuple):
         t_new = self.tower_t(coefs_new, q2)
         z = self.mis.shape[0]
         return pred_mean, t_new[..., :z]
+
+    def predict_scms(
+        self, weights: Array, nodes: Array, mean: Array, scale: Array
+    ) -> Tuple[Array, Array, Array]:
+        """One fused prediction for the scaled-central filter.
+
+        Returns (pred_mean, pred_scale, pred_scms).  Matches the
+        filter's law-of-total-variance predicted scale
+        (``multi_dims/filtering.py`` scms predict) with the
+        consistently truncated conditional covariance: everything is
+        computed in the old frame v=(u−m)/s, where the conditional
+        mean/variance per node are coefficient-side towers
+        c_k = C̃^k e_i over the *small-degree* sub-basis, and their
+        weighted products are bilinear forms in q0.
+        """
+        d = nodes.shape[-1]
+        dtype = nodes.dtype
+        coefs_old = self.frame_coefs(mean, scale)
+        v = (nodes - mean[..., None, :]) / scale[..., None, :]
+        y0 = monomials_nd(v, self.mis_ext)
+        q0 = jnp.einsum("...n,...nz->...z", weights, y0)
+
+        # Materialised generator on the small sub-basis (the degrees
+        # the coordinate towers can reach: 1 + order·rise).
+        zs = int(self.small_z)
+        C_small_t = jnp.einsum(
+            "...o,oyz->...yz", coefs_old, self.ops_t[:, :zs, :zs]
+        )  # (..., zs, zs): block of C̃ᵀ
+
+        unit = np.eye(d, dtype=np.int64)
+        id_ranks = jnp.array([_rank(self.mis_ext, unit[i]) for i in range(d)])
+        sq_ranks = jnp.array([_rank(self.mis_ext, 2 * unit[i]) for i in range(d)])
+
+        # Coefficient towers c_k = C̃^k e_i per coordinate: (..., d, zs).
+        c0 = jnp.broadcast_to(
+            jnp.eye(zs, dtype=dtype)[id_ranks], mean.shape[:-1] + (d, zs)
+        )
+        c_ks = [c0]
+        for _ in range(self.order):
+            # (C̃ c)[y] = Σ_z C̃[y,z] c[z] = Σ_z C̃ᵀ[z,y] c[z]
+            c_ks.append(jnp.einsum("...zy,...dz->...dy", C_small_t, c_ks[-1]))
+
+        # Bilinear form Q[α, β] = q0[rank(α + β)] over the small basis:
+        # E_w[p_a(v) p_b(v)] = c_aᵀ Q c_b.
+        Qmat = q0[..., self.pair_rank]  # (..., zs, zs)
+
+        def Ew(ca, cb):
+            return jnp.einsum("...da,...ab,...db->...d", ca, Qmat, cb)
+
+        # Value towers of the squares: (L̃^k v_i²) weighted by w.
+        s_ks = [q0[..., sq_ranks]]
+        q_iter = q0
+        for _ in range(self.order):
+            q_iter = self.apply_gen_t(coefs_old, q_iter)
+            s_ks.append(q_iter[..., sq_ranks])
+
+        coeffs = [1.0]
+        for r in range(1, self.order + 1):
+            coeffs.append(coeffs[-1] * self.dt / r)
+
+        # Weighted v-frame conditional mean  E_w[m_cond,v].
+        m_v = q0[..., id_ranks]
+        for r in range(1, self.order + 1):
+            m_v = m_v + coeffs[r] * jnp.einsum(
+                "...dz,...z->...d", c_ks[r], q0[..., :zs]
+            )
+
+        # E_w[cov_cons,ii + m_cond²]  (law of total variance pieces):
+        # m_cond² expands over tower-order pairs; cov_cons is the
+        # consistently truncated covariance (``_consistent_mean_cov``).
+        second = jnp.zeros_like(m_v)
+        for r in range(self.order + 1):
+            for r2 in range(self.order + 1):
+                second = second + coeffs[r] * coeffs[r2] * Ew(c_ks[r], c_ks[r2])
+        for r in range(1, self.order + 1):
+            inner = s_ks[r]
+            for k in range(r + 1):
+                inner = inner - math.comb(r, k) * Ew(c_ks[k], c_ks[r - k])
+            second = second + coeffs[r] * inner
+
+        pred_mean = mean + scale * m_v
+        pred_scale = scale * jnp.sqrt(second - m_v**2)
+
+        # scms tower in the NEW frame.
+        coefs_new = self.frame_coefs(pred_mean, pred_scale)
+        v2 = (nodes - pred_mean[..., None, :]) / pred_scale[..., None, :]
+        q2 = jnp.einsum(
+            "...n,...nz->...z", weights, monomials_nd(v2, self.mis_ext)
+        )
+        t_new = self.tower_t(coefs_new, q2)
+        z = self.mis.shape[0]
+        return pred_mean, pred_scale, t_new[..., :z]
 
     # ------------------------------------------------------------------
     # Per-node callables (TransitionMomentsND-compatible)
@@ -374,8 +468,18 @@ def poly_tme_nd(
     deg_phi = int(mi.sum(axis=-1).max())
     bbt_deg = 2 * dispersion_deg
     rise = max(drift_deg - 1, bbt_deg - 2, 0)
-    deg_ext = deg_phi + tme_order * rise
+    # Extended degree: enough for the φ towers AND for products of two
+    # coordinate towers (predict_scms' law-of-total-variance bilinear
+    # forms reach degree 2·(1 + order·rise)).
+    small_deg = 1 + tme_order * rise
+    deg_ext = max(deg_phi + tme_order * rise, 2 * small_deg)
     mis_ext = generate_graded_lexico_multi_indices(d, deg_ext)
+    mis_small = generate_graded_lexico_multi_indices(d, small_deg)
+    small_z = mis_small.shape[0]
+    pair_rank = np.zeros((small_z, small_z), dtype=np.int64)
+    for i_a, alpha in enumerate(mis_small):
+        for i_b, beta in enumerate(mis_small):
+            pair_rank[i_a, i_b] = _rank(mis_ext, alpha + beta)
 
     a_coefs, mis_a = poly_coefficients(drift, d, drift_deg)
     _check_poly(drift, a_coefs, mis_a)
@@ -420,4 +524,6 @@ def poly_tme_nd(
         b_table=_shift_table(mis_b),
         a_slots=a_slots,
         b_slots=b_slots,
+        small_z=small_z,
+        pair_rank=pair_rank,
     )

@@ -97,6 +97,69 @@ def test_predict_cms_fused_matches_manual(setup):
     np.testing.assert_allclose(pred_cms, man_cms, rtol=1e-8, atol=1e-11)
 
 
+def test_predict_scms_fused_matches_manual(setup):
+    auto, poly, nodes, mis = setup
+    B, n, d = nodes.shape
+    key = jax.random.PRNGKey(2)
+    w = jax.random.uniform(key, (B, n)) + 0.1
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    mean_old = jnp.array([[1.0, 1.1]] * B)
+    scale_old = jnp.array([[0.4, 0.7]] * B)
+
+    pm, ps, pscms = poly.predict_scms(w, nodes, mean_old, scale_old)
+
+    # manual: the filter's law-of-total-variance predict with the
+    # autodiff factory
+    cond_means, cond_vars = auto.mean_var(nodes)
+    man_mean = jnp.einsum("bnd,bn->bd", cond_means, w)
+    second = jnp.einsum("bnd,bn->bd", cond_vars + cond_means**2, w)
+    man_scale = jnp.sqrt(second - man_mean**2)
+    man_scms = jnp.einsum(
+        "bnz,bn->bz", auto.scms(nodes, man_mean, man_scale), w
+    )
+    np.testing.assert_allclose(pm, man_mean, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(ps, man_scale, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(pscms, man_scms, rtol=1e-8, atol=1e-11)
+
+
+def test_scms_filter_fused_predict_matches_autodiff(setup):
+    """End-to-end: moment_filter_nd_scms with the fused poly predict vs
+    the per-node autodiff factory."""
+    from mfs_tpu.multi_dims import (
+        gram_and_hankel_indices_graded_lexico,
+        moment_filter_nd_scms,
+    )
+
+    auto, poly, _, mis = setup
+    N = 3
+    inds = gram_and_hankel_indices_graded_lexico(N, 2)
+    model = prey_predator(mis)
+    B, T = 2, 10
+    _, xss, yss = model.simulate(jax.random.PRNGKey(4), B)
+    ys = yss[:T]
+    from mfs_tpu.multi_dims.moments import monomials_nd
+
+    ic = model.init_cond
+    scale0_1 = jnp.sqrt(jnp.diagonal(ic.cov))
+    scms0_1 = ic.cms / monomials_nd(scale0_1, mis)
+    scms0 = jnp.broadcast_to(scms0_1, (B,) + scms0_1.shape)
+    mean0 = jnp.broadcast_to(ic.mean, (B, 2))
+    scale0 = jnp.broadcast_to(scale0_1, (B, 2))
+
+    ref_out = moment_filter_nd_scms(
+        auto.scms, auto.mean_var, model.measurement_cond_pdf, ys,
+        (mis, inds), scms0, mean0, scale0,
+    )
+    poly_out = moment_filter_nd_scms(
+        auto.scms, auto.mean_var, model.measurement_cond_pdf, ys,
+        (mis, inds), scms0, mean0, scale0, predict_fn=poly.predict_scms,
+    )
+    np.testing.assert_allclose(poly_out[3], ref_out[3], rtol=1e-9)  # nell
+    np.testing.assert_allclose(poly_out[1], ref_out[1], rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(poly_out[2], ref_out[2], rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(poly_out[0], ref_out[0], rtol=1e-6, atol=1e-9)
+
+
 def test_filter_fused_predict_matches_autodiff(setup):
     """End-to-end: moment_filter_nd_cms with the fused poly predict vs
     the per-node autodiff factory — nell agreement well under 1e-7."""
