@@ -31,3 +31,4 @@ for mode in raw central scaled; do
 done
 
 python experiments/parity_summary.py --Ns $NS --impl-suffix _pallas --seed 0
+python experiments/parity_markdown.py
