@@ -15,8 +15,11 @@ Usage:
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from experiments import common
 
@@ -29,13 +32,14 @@ def cell_name(N, mode, closure, seed, eigh_impl="refined"):
 
 
 def run_cell(N, mode, closure, trials, seed, chunk=None, stable=True,
-             tme_order=2, eigh_impl="refined"):
+             tme_order=2, eigh_impl="refined", rescue=True):
     from mfs_tpu.models import benes_bernoulli
     from mfs_tpu.one_dim.filtering import (
         moment_filter_cms,
         moment_filter_rms,
         moment_filter_scms,
     )
+    from mfs_tpu.parallel.ensemble import rescue_diverged
     from mfs_tpu.sde import sde_cond_moments_tme, sde_cond_moments_tme_normal
 
     chunk = chunk or trials
@@ -47,6 +51,77 @@ def run_cell(N, mode, closure, trials, seed, chunk=None, stable=True,
     key_sim, key_meas = jax.random.split(jax.random.PRNGKey(seed))
     ic = model.init_cond
 
+    trial_axes = {
+        "moments": 1, "means": 1, "variances": 1, "scales": 1, "nell": 0,
+    }
+
+    def make_run(impl, device=None):
+        def run(ys_in):
+            if device is not None:
+                ys_in = jax.device_put(jnp.asarray(ys_in), device)
+            ctx = (
+                jax.default_device(device)
+                if device is not None
+                else contextlib.nullcontext()
+            )
+            with ctx:
+                return _run_inner(impl, ys_in)
+
+        return run
+
+    def _run_inner(impl, ys_in):
+            n = ys_in.shape[1]
+            if mode == "raw":
+                rms0 = jnp.broadcast_to(ic.rms, (n, 2 * N))
+                fn = jax.jit(
+                    lambda r0, y: moment_filter_rms(
+                        trans.rms, model.measurement_cond_pdf, r0, y,
+                        stable=stable, eigh_impl=impl
+                    )
+                )
+                (mss, nell), dt_run = common.timed_call(fn, rms0, ys_in)
+                means = mss[..., 1]
+                variances = mss[..., 2] - means**2
+                out = dict(moments=mss, means=means, variances=variances,
+                           nell=nell)
+            elif mode == "central":
+                cms0 = jnp.broadcast_to(ic.cms, (n, 2 * N))
+                fn = jax.jit(
+                    lambda c0, y: moment_filter_cms(
+                        trans.cms, trans.mean, model.measurement_cond_pdf, c0,
+                        ic.mean * jnp.ones(n), y, stable=stable,
+                        eigh_impl=impl
+                    )
+                )
+                (mss, means, nell), dt_run = common.timed_call(fn, cms0, ys_in)
+                out = dict(moments=mss, means=means, variances=mss[..., 2],
+                           nell=nell)
+            else:  # scaled
+                scms0 = jnp.broadcast_to(ic.scms, (n, 2 * N))
+                fn = jax.jit(
+                    lambda s0, y: moment_filter_scms(
+                        trans.scms, trans.mean_var, model.measurement_cond_pdf,
+                        s0, ic.mean * jnp.ones(n),
+                        jnp.sqrt(ic.variance) * jnp.ones(n),
+                        y, stable=stable, eigh_impl=impl
+                    )
+                )
+                (mss, means, scales, nell), dt_run = common.timed_call(
+                    fn, scms0, ys_in
+                )
+                out = dict(moments=mss, means=means, variances=scales**2,
+                           nell=nell, scales=scales)
+            out["_dt"] = dt_run
+            return out
+
+    def finite_fn(out):
+        mss = out["moments"]
+        return np.asarray(
+            jnp.isfinite(mss.reshape(mss.shape[0], mss.shape[1], -1)).all(
+                axis=(0, 2)
+            )
+        )
+
     def run_chunk(lo, n):
         ids = jnp.arange(lo, lo + n)
         xss = model.simulate_trials(key_sim, ids)  # (n, T)
@@ -56,54 +131,45 @@ def run_cell(N, mode, closure, trials, seed, chunk=None, stable=True,
         )(meas_keys, xss).astype(xss.dtype)
         ys = jnp.swapaxes(yss, 0, 1)  # (T, n)
 
-        if mode == "raw":
-            rms0 = jnp.broadcast_to(ic.rms, (n, 2 * N))
-            fn = jax.jit(
-                lambda r0, y: moment_filter_rms(
-                    trans.rms, model.measurement_cond_pdf, r0, y, stable=stable,
-                    eigh_impl=eigh_impl
-                )
-            )
-            (mss, nell), dt_run = common.timed_call(fn, rms0, ys)
-            means = mss[..., 1]
-            variances = mss[..., 2] - means**2
-        elif mode == "central":
-            cms0 = jnp.broadcast_to(ic.cms, (n, 2 * N))
-            fn = jax.jit(
-                lambda c0, y: moment_filter_cms(
-                    trans.cms, trans.mean, model.measurement_cond_pdf, c0,
-                    ic.mean * jnp.ones(n), y, stable=stable,
-                    eigh_impl=eigh_impl
-                )
-            )
-            (mss, means, nell), dt_run = common.timed_call(fn, cms0, ys)
-            variances = mss[..., 2]
-        else:  # scaled
-            scms0 = jnp.broadcast_to(ic.scms, (n, 2 * N))
-            fn = jax.jit(
-                lambda s0, y: moment_filter_scms(
-                    trans.scms, trans.mean_var, model.measurement_cond_pdf, s0,
-                    ic.mean * jnp.ones(n), jnp.sqrt(ic.variance) * jnp.ones(n),
-                    y, stable=stable, eigh_impl=eigh_impl
-                )
-            )
-            (mss, means, scales, nell), dt_run = common.timed_call(fn, scms0, ys)
-            variances = scales**2
+        wall = dict(t=0.0)
 
-        finite = jnp.isfinite(mss.reshape(mss.shape[0], n, -1)).all(axis=(0, 2))
-        out = dict(
-            moments=mss, means=means, variances=variances, nell=nell,
-            xss=xss, yss=yss, finite=finite, wall_time=dt_run,
+        def timed(run):
+            def wrapped(ys_in):
+                out = run(ys_in)
+                wall["t"] += out.pop("_dt")
+                return out
+
+            return wrapped
+
+        fast = timed(make_run(eigh_impl))
+        if rescue:
+            # Two-tier robustness: fast fused-kernel pass on the TPU,
+            # then re-run only the diverged trials through native-f64
+            # LAPACK eigh + LDL PD-completion on the host CPU (see
+            # ``mfs_tpu.parallel.ensemble.rescue_diverged``).  The
+            # robust tier alone shows ~0 divergences at raw-mode N=10
+            # where the reference's own f64 engine loses 32/1000.
+            robust = timed(make_run("xla", device=jax.devices("cpu")[0]))
+            out, finite, rescued = rescue_diverged(
+                fast, robust, ys, finite_fn, trial_axes
+            )
+        else:
+            out = fast(ys)
+            finite = finite_fn(out)
+            rescued = 0
+
+        out.update(
+            xss=xss, yss=yss, finite=finite, wall_time=wall["t"],
+            rescued=rescued,
         )
-        if mode == "scaled":
-            out["scales"] = scales
         return out
 
     return common.run_chunked(
         "benes_bernoulli", cell_name(N, mode, closure, seed, eigh_impl),
         trials, chunk, run_chunk,
-        trial_axes={"moments": 1, "means": 1, "variances": 1, "scales": 1},
-        sum_keys=("wall_time",),
+        trial_axes={"moments": 1, "means": 1, "variances": 1, "scales": 1,
+                    "nell": 0},
+        sum_keys=("wall_time", "rescued"),
     )
 
 
@@ -114,6 +180,7 @@ def main():
     p.add_argument("--closure", choices=["tme", "tme-normal"], default="tme-normal")
     p.add_argument("--tme-order", type=int, default=2)
     p.add_argument("--no-stable", action="store_true")
+    p.add_argument("--no-rescue", action="store_true")
     p.add_argument("--chunk", type=int, default=None)
     p.add_argument("--eigh-impl", default="refined",
                    choices=["refined", "xla", "jacobi", "pallas"])
@@ -125,12 +192,14 @@ def main():
             N, args.mode, args.closure, args.trials, args.seed,
             chunk=args.chunk, stable=not args.no_stable,
             tme_order=args.tme_order, eigh_impl=args.eigh_impl,
+            rescue=not args.no_rescue,
         )
         common.emit(
             dict(
                 experiment="benes_bernoulli", N=N, mode=args.mode,
                 closure=args.closure, trials=args.trials,
                 divergent=int(args.trials - out["finite"].sum()),
+                rescued=int(out.get("rescued", 0)),
                 wall_time_s=round(float(out["wall_time"]), 4),
                 trials_per_sec=round(args.trials / float(out["wall_time"]), 2),
                 saved=path,

@@ -59,6 +59,8 @@ def simulate(trials, seed):
 def main():
     p = common.base_parser(__doc__)
     p.add_argument("--Ns", type=int, nargs="+", default=[2, 3, 4, 6, 8, 10])
+    p.add_argument("--eigh-impl", default="refined",
+                   choices=["refined", "xla", "jacobi", "pallas"])
     args = p.parse_args()
     common.setup(args)
 
@@ -79,7 +81,11 @@ def main():
         rms0 = jnp.broadcast_to(
             normal_raw_moments_all(MEAN0, VAR0, 2 * N), (args.trials, 2 * N)
         )
-        fn = jax.jit(lambda r0, y: moment_filter_rms(trans.rms, meas, r0, y))
+        fn = jax.jit(
+            lambda r0, y: moment_filter_rms(
+                trans.rms, meas, r0, y, eigh_impl=args.eigh_impl
+            )
+        )
         (rmss, nell), dt_run = common.timed_call(fn, rms0, ys)
         means = rmss[..., 1]
         variances = rmss[..., 2] - means**2
@@ -112,6 +118,7 @@ def main():
                 protocol="OU/Matern-1/2 vs exact KF, raw mode, TME-3, "
                          f"T={T}, dt={DT}, batched trials "
                          "(reference dardel/convergence/convergence_mf.py)",
+                eigh_impl=args.eigh_impl,
                 seed=args.seed, rows=rows,
             ),
             f, indent=1,

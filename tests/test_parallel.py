@@ -84,3 +84,60 @@ def test_shard_and_replicate_placement():
     assert "trials" in str(xs.sharding)
     r = replicate(jnp.zeros(3), mesh)
     assert r.sharding.is_fully_replicated
+
+
+def test_rescue_diverged_splices_robust_trials():
+    from mfs_tpu.parallel.ensemble import rescue_diverged
+
+    T, n, m = 4, 8, 3
+    ys = jnp.arange(T * n, dtype=jnp.float64).reshape(T, n)
+    bad = np.array([1, 5, 6])
+
+    def run_fast(ys_in):
+        mss = jnp.broadcast_to(ys_in[..., None], (T, ys_in.shape[1], m)) + 0.0
+        mss = mss.at[:, :, :].set(mss)
+        cols = jnp.isin(ys_in[0], ys[0, bad])
+        mss = jnp.where(cols[None, :, None], jnp.nan, mss)
+        return dict(moments=mss, nell=jnp.where(cols, jnp.nan, ys_in[0]))
+
+    def run_robust(ys_in):
+        # Rescues all but the trial whose first observation is ys[0, 6].
+        mss = jnp.broadcast_to(ys_in[..., None], (T, ys_in.shape[1], m)) + 1.0
+        cols = ys_in[0] == ys[0, 6]
+        mss = jnp.where(cols[None, :, None], jnp.nan, mss)
+        return dict(moments=mss, nell=jnp.where(cols, jnp.nan, -ys_in[0]))
+
+    def finite_fn(out):
+        mss = out["moments"]
+        return np.asarray(jnp.isfinite(mss).all(axis=(0, 2)))
+
+    merged, finite, rescued = rescue_diverged(
+        run_fast, run_robust, ys, finite_fn, {"moments": 1, "nell": 0}
+    )
+    assert rescued == 2
+    assert finite.sum() == n - 1 and not finite[6]
+    # Untouched trials keep the fast output; rescued ones carry robust.
+    np.testing.assert_allclose(merged["nell"][0], ys[0, 0])
+    np.testing.assert_allclose(merged["nell"][1], -ys[0, 1])
+    np.testing.assert_allclose(merged["nell"][5], -ys[0, 5])
+    assert np.isnan(merged["nell"][6])
+    np.testing.assert_allclose(
+        np.asarray(merged["moments"])[:, 5],
+        np.broadcast_to(np.asarray(ys)[:, 5, None] + 1.0, (T, m)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(merged["moments"])[:, 0],
+        np.broadcast_to(np.asarray(ys)[:, 0, None], (T, m)),
+    )
+
+    # All-finite fast path returns untouched outputs, zero rescued.
+    def run_ok(ys_in):
+        return dict(
+            moments=jnp.broadcast_to(ys_in[..., None], (T, ys_in.shape[1], m)),
+            nell=ys_in[0],
+        )
+
+    merged2, finite2, rescued2 = rescue_diverged(
+        run_ok, run_robust, ys, finite_fn, {"moments": 1, "nell": 0}
+    )
+    assert rescued2 == 0 and finite2.all()
