@@ -127,6 +127,15 @@ def setup(args) -> None:
         jax.config.update("jax_platforms", args.platform)
     if args.x64:
         jax.config.update("jax_enable_x64", True)
+    # Persistent compilation cache: the sweeps re-launch one process per
+    # (mode, closure) group and re-compile the same per-N programs;
+    # caching them on disk turns every re-run/resume into a cache hit.
+    try:
+        cache_dir = os.path.join(os.path.dirname(RESULTS_DIR), ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass  # older jax without the option; harmless
 
 
 def emit(record: dict) -> None:

@@ -59,10 +59,14 @@ def cf_errors(moments, pss, xs_grid, zs, mean=None, scale=None):
     from mfs_tpu.one_dim.quadrature import moment_quadrature
 
     # True CF by trapezoid: (z, grid) x (trials, T, grid) -> (trials, T, z).
+    # Real cos/sin arithmetic throughout — the TPU's emulated-f64
+    # pipeline has no f64 -> c128 conversion (XLA x64_rewriter aborts
+    # on CVT to c128), and two real contractions hit the MXU anyway.
     dx = xs_grid[1] - xs_grid[0]
     tw = jnp.full_like(xs_grid, dx).at[0].mul(0.5).at[-1].mul(0.5)
-    phase = jnp.exp(1.0j * zs[:, None] * xs_grid)  # (z, grid)
-    cf_true = jnp.einsum("zg,btg->btz", phase * tw, pss.astype(phase.dtype))
+    ang_t = zs[:, None] * xs_grid  # (z, grid)
+    cf_true_re = jnp.einsum("zg,btg->btz", jnp.cos(ang_t) * tw, pss)
+    cf_true_im = jnp.einsum("zg,btg->btz", jnp.sin(ang_t) * tw, pss)
 
     # Estimated CF from the moment vectors: one quadrature per (b, t),
     # then a (n x z) phase contraction.
@@ -78,13 +82,13 @@ def cf_errors(moments, pss, xs_grid, zs, mean=None, scale=None):
         w, x = moment_quadrature(
             ms, jnp.swapaxes(mean, 0, 1), jnp.swapaxes(scale, 0, 1), stable=True
         )
-    cf_est = jnp.einsum(
-        "btn,btnz->btz",
-        w.astype(phase.dtype),
-        jnp.exp(1.0j * x[..., None] * zs),
-    )
+    ang_e = x[..., None] * zs  # (trials, T, n, z)
+    cf_est_re = jnp.einsum("btn,btnz->btz", w, jnp.cos(ang_e))
+    cf_est_im = jnp.einsum("btn,btnz->btz", w, jnp.sin(ang_e))
 
-    diff = jnp.abs(cf_est - cf_true)
+    diff = jnp.sqrt(
+        (cf_est_re - cf_true_re) ** 2 + (cf_est_im - cf_true_im) ** 2
+    )
     dz = zs[1] - zs[0]
     return (
         jnp.max(diff, axis=-1),
@@ -93,19 +97,27 @@ def cf_errors(moments, pss, xs_grid, zs, mean=None, scale=None):
     )
 
 
-def cf_errors_chunked(moments, pss, xs_grid, zs, mean=None, scale=None, chunk=64):
+# Module-level jitted entry points: defining fresh lambdas per call
+# would defeat jax's compilation cache (one recompile per sweep cell).
+_cf_errors_raw = jax.jit(cf_errors)
+_cf_errors_mean = jax.jit(lambda m, ps, xs, z, mn: cf_errors(m, ps, xs, z, mean=mn))
+_cf_errors_mean_scale = jax.jit(
+    lambda m, ps, xs, z, mn, sc: cf_errors(m, ps, xs, z, mean=mn, scale=sc)
+)
+
+
+def cf_errors_chunked(moments, pss, xs_grid, zs, mean=None, scale=None, chunk=50):
     """Chunk the trial axis so the (chunk, T, n, z) phase tensor stays
-    in memory at 1000-trial scale."""
+    in memory at 1000-trial scale.  chunk=50 divides the 1000-trial
+    protocol exactly, so every chunk reuses one compiled shape."""
     trials = pss.shape[0]
     outs = []
     if mean is None:
-        fn = jax.jit(cf_errors)
+        fn = _cf_errors_raw
     elif scale is None:
-        fn = jax.jit(lambda m, ps, xs, z, mn: cf_errors(m, ps, xs, z, mean=mn))
+        fn = _cf_errors_mean
     else:
-        fn = jax.jit(
-            lambda m, ps, xs, z, mn, sc: cf_errors(m, ps, xs, z, mean=mn, scale=sc)
-        )
+        fn = _cf_errors_mean_scale
     for s0 in range(0, trials, chunk):
         sl = slice(s0, s0 + chunk)
         m_c = moments[:, sl]

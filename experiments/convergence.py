@@ -59,47 +59,91 @@ def simulate(trials, seed):
 def main():
     p = common.base_parser(__doc__)
     p.add_argument("--Ns", type=int, nargs="+", default=[2, 3, 4, 6, 8, 10])
+    # The reference sweeps both modes N=2..15
+    # (``dardel/run_convergence_mf.sh:26-30``); the raw representation
+    # loses the high-order information of a near-Gaussian posterior and
+    # diverges at high N for ANY arithmetic (verified: our f64 refined
+    # path fails identically), so ``central`` is the headline mode.
+    p.add_argument("--mode", choices=["raw", "central"], default="central")
     p.add_argument("--eigh-impl", default="refined",
                    choices=["refined", "xla", "jacobi", "pallas"])
     args = p.parse_args()
     common.setup(args)
 
-    from mfs_tpu.one_dim.filtering import moment_filter_rms
-    from mfs_tpu.sde import sde_cond_moments_tme
+    from mfs_tpu.one_dim.filtering import moment_filter_cms, moment_filter_rms
+    from mfs_tpu.one_dim.moments import raw_to_central
     from mfs_tpu.utils.gaussian import normal_raw_moments_all
 
     xs, ys = simulate(args.trials, args.seed)
     kf_m, kf_v = kalman_batch(ys)
     rows = []
 
-    drift = lambda x: -x / ELL
-    disp = lambda x: math.sqrt(2.0) * SIGMA / math.sqrt(ELL)
     meas = lambda y, x: jnp.exp(-0.5 * (y - x) ** 2 / XI) / jnp.sqrt(2 * jnp.pi * XI)
 
+    # Exact LTI discretisation, like the reference's closed-form
+    # ``raw_moment_of_normal(F x, Q)`` conditional moments
+    # (``convergence_mf.py:86-113``): the transition density is exactly
+    # N(F x, Q), so the only error left to measure is the moment
+    # filter's own truncation at order 2N.
+    F = math.exp(-DT / ELL)
+    Q = SIGMA**2 * (1 - math.exp(-2 * DT / ELL))
+
     for N in args.Ns:
-        trans = sde_cond_moments_tme(drift, disp, DT, 3, N)
+        def cond_rms(nodes, N=N):
+            return normal_raw_moments_all(F * nodes, Q, 2 * N)
+
+        def cond_cms(nodes, mean, N=N):
+            return normal_raw_moments_all(F * nodes - mean, Q, 2 * N)
+
+        cond_mean = lambda nodes: F * nodes
+
         rms0 = jnp.broadcast_to(
             normal_raw_moments_all(MEAN0, VAR0, 2 * N), (args.trials, 2 * N)
         )
-        fn = jax.jit(
-            lambda r0, y: moment_filter_rms(
-                trans.rms, meas, r0, y, eigh_impl=args.eigh_impl
+        if args.mode == "raw":
+            fn = jax.jit(
+                lambda r0, y, f=cond_rms: moment_filter_rms(
+                    f, meas, r0, y, eigh_impl=args.eigh_impl
+                )
             )
+            (rmss, nell), dt_run = common.timed_call(fn, rms0, ys)
+            means = rmss[..., 1]
+            variances = rmss[..., 2] - means**2
+        else:
+            cms0 = raw_to_central(rms0)
+            mean0 = MEAN0 * jnp.ones(args.trials)
+            fn = jax.jit(
+                lambda c0, m0, y, f=cond_cms: moment_filter_cms(
+                    f, cond_mean, meas, c0, m0, y,
+                    eigh_impl=args.eigh_impl,
+                )
+            )
+            (cmss, means, nell), dt_run = common.timed_call(fn, cms0, mean0, ys)
+            variances = cmss[..., 2]
+        # Divergent trials are counted and excluded, never averaged in
+        # (the reference masks them in post-processing:
+        # ``reproduce_paper_plots/plot_benes_bernoulli_errs_and_times.py:11-35``).
+        finite = (
+            jnp.isfinite(means).all(axis=0)
+            & jnp.isfinite(variances).all(axis=0)
+            & (variances > 0).all(axis=0)
         )
-        (rmss, nell), dt_run = common.timed_call(fn, rms0, ys)
-        means = rmss[..., 1]
-        variances = rmss[..., 2] - means**2
-        abs_m = jnp.abs(means - kf_m)
-        abs_v = jnp.abs(variances - kf_v)
+        abs_m = jnp.abs(means - kf_m)[:, finite]
+        abs_v = jnp.abs(variances - kf_v)[:, finite]
+        v_f, m_f = variances[:, finite], means[:, finite]
+        kf_m_f, kf_v_f = kf_m[:, finite], kf_v[:, finite]
         kl = 0.5 * (
-            jnp.log(kf_v / variances) + (variances + (means - kf_m) ** 2) / kf_v - 1.0
+            jnp.log(kf_v_f / v_f) + (v_f + (m_f - kf_m_f) ** 2) / kf_v_f - 1.0
         )
         common.save_results(
-            "convergence", f"mf_N{N}_s{args.seed}",
+            "convergence", f"mf_N{N}_{args.mode}_s{args.seed}",
             means=means, variances=variances, kf_m=kf_m, kf_v=kf_v, nell=nell,
+            finite=finite,
         )
         row = dict(
-            experiment="convergence", N=N, trials=args.trials,
+            experiment="convergence", N=N, mode=args.mode,
+            trials=args.trials,
+            divergent=int(args.trials - finite.sum()),
             abs_mean_err=float(jnp.mean(abs_m)),
             abs_var_err=float(jnp.mean(abs_v)),
             gauss_kl=float(jnp.mean(kl)),
@@ -112,14 +156,27 @@ def main():
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "SUMMARY_convergence.json")
+    # Merge with rows from other modes so raw/central invocations
+    # accumulate into one committed artifact.
+    old_rows = []
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                old_rows = json.load(f).get("rows", [])
+        except Exception:
+            old_rows = []
+    mine = {(r["N"], args.mode) for r in rows}
+    keep = [r for r in old_rows if (r["N"], r.get("mode", "raw")) not in mine]
     with open(out, "w") as f:
         json.dump(
             dict(
-                protocol="OU/Matern-1/2 vs exact KF, raw mode, TME-3, "
+                protocol="OU/Matern-1/2 vs exact KF, exact LTI transition "
+                         "moments (closed-form normal, like the reference), "
                          f"T={T}, dt={DT}, batched trials "
-                         "(reference dardel/convergence/convergence_mf.py)",
+                         "(reference dardel/convergence/convergence_mf.py, "
+                         "run_convergence_mf.sh:26-30 sweeps both modes)",
                 eigh_impl=args.eigh_impl,
-                seed=args.seed, rows=rows,
+                seed=args.seed, rows=keep + rows,
             ),
             f, indent=1,
         )

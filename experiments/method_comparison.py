@@ -50,26 +50,42 @@ def _truth_cached(seed, yss, grid_n, substeps):
 
 
 def _true_cf_and_mean(pss, xs_grid, zs, chunk=64):
-    """(trials, T, z) true CF by trapezoid + (trials, T) true means."""
+    """(trials, T, z) true CF (re, im) by trapezoid + (trials, T) means.
+
+    Real cos/sin arithmetic — the TPU's emulated-f64 pipeline has no
+    f64 -> c128 conversion (XLA x64_rewriter aborts on CVT to c128).
+    """
     dx = xs_grid[1] - xs_grid[0]
     tw = jnp.full_like(xs_grid, dx).at[0].mul(0.5).at[-1].mul(0.5)
-    phase = jnp.exp(1.0j * zs[:, None] * xs_grid) * tw  # (z, grid)
+    ang = zs[:, None] * xs_grid  # (z, grid)
+    cos_p, sin_p = jnp.cos(ang) * tw, jnp.sin(ang) * tw
 
     fn = jax.jit(lambda ps: (
-        jnp.einsum("zg,btg->btz", phase, ps.astype(phase.dtype)),
+        jnp.einsum("zg,btg->btz", cos_p, ps),
+        jnp.einsum("zg,btg->btz", sin_p, ps),
         jnp.einsum("g,btg->bt", xs_grid * tw, ps),
     ))
-    cfs, means = [], []
+    res, ims, means = [], [], []
     for s0 in range(0, pss.shape[0], chunk):
-        cf, m = fn(pss[s0:s0 + chunk])
-        cfs.append(cf)
+        re, im, m = fn(pss[s0:s0 + chunk])
+        res.append(re)
+        ims.append(im)
         means.append(m)
-    return jnp.concatenate(cfs, axis=0), jnp.concatenate(means, axis=0)
+    return (
+        jnp.concatenate(res, axis=0),
+        jnp.concatenate(ims, axis=0),
+        jnp.concatenate(means, axis=0),
+    )
 
 
 def _metrics(cf_est, cf_true, est_means, true_means, finite, zs):
-    """Reference compute_errs metrics, meaned over finite trials and T."""
-    diff = jnp.abs(cf_est - cf_true)  # (trials, T, z)
+    """Reference compute_errs metrics, meaned over finite trials and T.
+
+    ``cf_est``/``cf_true`` are (re, im) pairs of (trials, T, z) arrays.
+    """
+    diff = jnp.sqrt(
+        (cf_est[0] - cf_true[0]) ** 2 + (cf_est[1] - cf_true[1]) ** 2
+    )  # (trials, T, z)
     dz = zs[1] - zs[0]
     sup_e = jnp.max(diff, axis=-1)
     l1_e = jnp.sum(diff, axis=-1) * dz
@@ -139,11 +155,33 @@ def run_pf_chunk(model, ys_chunk, key, particles, zs):
         init_sampler, key, particles, stratified,
     )  # (T, B, n)
     means = jnp.mean(samples, axis=-1)  # (T, B)
-    zx = samples[..., None] * zs  # (T, B, n, z) -- biggest tensor; chunk keeps it small
-    cf_re = jnp.mean(jnp.cos(zx), axis=-2)
-    cf_im = jnp.mean(jnp.sin(zx), axis=-2)
-    cf = cf_re + 1.0j * cf_im  # (T, B, z)
-    return jnp.swapaxes(means, 0, 1), jnp.swapaxes(cf, 0, 1), nell
+
+    # Empirical CF without materialising (T, B, particles, z): map over
+    # time steps and scan over z-blocks, so the live tensor is
+    # (B, particles, z_block) — ~200 MB instead of ~80 GB.
+    z_block = 50
+    zs_blocks = zs.reshape(-1, z_block)
+
+    def cf_step(s_t):  # (B, particles)
+        def one_block(_, z_blk):
+            ang = s_t[..., None] * z_blk  # (B, particles, z_block)
+            return _, (jnp.mean(jnp.cos(ang), axis=-2),
+                       jnp.mean(jnp.sin(ang), axis=-2))
+
+        _, (re, im) = jax.lax.scan(one_block, 0, zs_blocks)
+        # (n_blocks, B, z_block) -> (B, z)
+        return (
+            jnp.moveaxis(re, 0, 1).reshape(s_t.shape[0], -1),
+            jnp.moveaxis(im, 0, 1).reshape(s_t.shape[0], -1),
+        )
+
+    cf_re, cf_im = jax.lax.map(cf_step, samples)  # (T, B, z)
+    return (
+        jnp.swapaxes(means, 0, 1),
+        jnp.swapaxes(cf_re, 0, 1),
+        jnp.swapaxes(cf_im, 0, 1),
+        nell,
+    )
 
 
 def main():
@@ -175,7 +213,8 @@ def main():
     zs = jnp.linspace(-2.0, 2.0, args.z_n)
 
     pss, xs_grid = _truth_cached(args.seed, yss, args.grid_n, args.substeps)
-    cf_true, true_means = _true_cf_and_mean(pss, xs_grid, zs)
+    true_re, true_im, true_means = _true_cf_and_mean(pss, xs_grid, zs)
+    cf_true = (true_re, true_im)
 
     rows = []
 
@@ -183,9 +222,10 @@ def main():
     (ghf_m, ghf_v, ghf_nell), t_ghf = common.timed_call(
         lambda: run_ghf(model, ys, args.gh_order)
     )
-    cf_ghf = jnp.exp(
-        1.0j * ghf_m[..., None] * zs - 0.5 * ghf_v[..., None] * zs**2
-    )
+    # Gaussian CF exp(izm - z^2 v / 2), as a real (re, im) pair.
+    amp = jnp.exp(-0.5 * ghf_v[..., None] * zs**2)
+    ang = ghf_m[..., None] * zs
+    cf_ghf = (amp * jnp.cos(ang), amp * jnp.sin(ang))
     finite = np.isfinite(np.asarray(ghf_m)).all(axis=1)
     row = dict(method=f"ghf_gh{args.gh_order}", trials=trials,
                wall_time_s=round(float(t_ghf), 4),
@@ -195,20 +235,21 @@ def main():
 
     # --- bootstrap PF (chunked over trials) ---
     key_pf = jax.random.PRNGKey(args.seed + 1)
-    pf_means, pf_cfs, t_pf = [], [], 0.0
+    pf_means, pf_res, pf_ims, t_pf = [], [], [], 0.0
     run = jax.jit(
         lambda y, k: run_pf_chunk(model, y, k, args.particles, zs)
     )
     for s0 in range(0, trials, args.pf_chunk):
         k = jax.random.fold_in(key_pf, s0)
-        (m, cf, _), dt_c = common.timed_call(
+        (m, cf_re, cf_im, _), dt_c = common.timed_call(
             run, ys[:, s0:s0 + args.pf_chunk], k, warmup=(s0 == 0)
         )
         t_pf += dt_c
         pf_means.append(m)
-        pf_cfs.append(cf)
+        pf_res.append(cf_re)
+        pf_ims.append(cf_im)
     pf_m = jnp.concatenate(pf_means, axis=0)
-    pf_cf = jnp.concatenate(pf_cfs, axis=0)
+    pf_cf = (jnp.concatenate(pf_res, axis=0), jnp.concatenate(pf_ims, axis=0))
     finite = np.isfinite(np.asarray(pf_m)).all(axis=1)
     row = dict(method=f"bootstrap_pf_{args.particles}", trials=trials,
                wall_time_s=round(float(t_pf), 4),

@@ -45,35 +45,51 @@ def main():
     yss = jax.random.poisson(key_meas, emission(xss, args.true_p2)).astype(xss.dtype)
     ys = jnp.swapaxes(yss, 0, 1)  # (T, B)
 
-    def nell_one(params, ys_one):
-        p1 = jnp.logaddexp(0.0, params[0])
-        p2 = jnp.logaddexp(0.0, params[1])
+    mle_impl = args.eigh_impl
+
+    # Batch-first MLE: every trial optimises its OWN (p1, p2), but all
+    # trials flow through ONE filter call per objective evaluation —
+    # the per-trial parameters broadcast through the transition/emission
+    # closures along the native batch axis, and because the summed nell
+    # is block-separable in the per-trial parameters, its gradient IS
+    # the stack of per-trial gradients.  One optax L-BFGS then drives
+    # all 1000 independent optimisations in lockstep on the TPU (the
+    # reference drives SciPy L-BFGS-B one OS process per trial:
+    # ``dardel/parameter_estimation/mf.py:37-73``).
+    import optax
+
+    def nell_all(P, ys_all):
+        p1 = jnp.logaddexp(0.0, P[:, 0])[:, None]  # (B,1): broadcasts over nodes
+        p2 = jnp.logaddexp(0.0, P[:, 1])[:, None]
         trans = sde_cond_moments_euler(lambda u: drift(u, p1), disp, dt, N)
         _, _, out = moment_filter_cms(
             trans.cms, trans.mean,
             lambda y, u: meas_pmf(y, u, p2),
-            ic.cms, ic.mean, ys_one,
-            eigh_impl=args.eigh_impl,
+            jnp.broadcast_to(ic.cms, (B, 2 * N)), ic.mean * jnp.ones(B),
+            ys_all, eigh_impl=mle_impl,
         )
-        return out
+        return out  # (B,)
 
-    # Batched independent optimisations: vmapped BFGS over trials (the
-    # reference drives SciPy L-BFGS-B one process per trial:
-    # ``dardel/parameter_estimation/mf.py:37-73``; the nell surface is
-    # nearly flat in p1, where first-order optimisers crawl).
-    from jax.scipy.optimize import minimize
+    def fit(ys_all):
+        f = lambda P: jnp.sum(nell_all(P, ys_all))
+        opt = optax.lbfgs()
+        P0 = jnp.full((B, 2), 0.5)
+        value_and_grad = optax.value_and_grad_from_state(f)
 
-    def fit_one(ys_one):
-        res = minimize(
-            lambda p: nell_one(p, ys_one),
-            jnp.array([0.5, 0.5]),
-            method="BFGS",
-            options=dict(maxiter=args.opt_steps),
+        def step(carry, _):
+            P, state = carry
+            value, grad = value_and_grad(P, state=state)
+            updates, state = opt.update(
+                grad, state, P, value=value, grad=grad, value_fn=f
+            )
+            return (optax.apply_updates(P, updates), state), value
+
+        (P, _), _ = jax.lax.scan(
+            step, (P0, opt.init(P0)), None, length=args.opt_steps
         )
-        return jnp.logaddexp(0.0, res.x), res.fun
+        return jnp.logaddexp(0.0, P), nell_all(P, ys_all)
 
-    fit = jax.jit(jax.vmap(fit_one, in_axes=1))
-    (p_hat, final_nell), dt_run = common.timed_call(fit, ys)
+    (p_hat, final_nell), dt_run = common.timed_call(jax.jit(fit), ys)
 
     finite = jnp.isfinite(p_hat).all(axis=-1)
     common.save_results(
@@ -81,7 +97,7 @@ def main():
     )
     mle_row = dict(
         experiment="parameter_estimation", N=N, trials=B, T=args.T,
-        eigh_impl=args.eigh_impl,
+        eigh_impl=mle_impl,
         divergent=int(B - finite.sum()),
         p1_mean=float(jnp.mean(p_hat[finite, 0])),
         p1_std=float(jnp.std(p_hat[finite, 0])),
@@ -98,25 +114,25 @@ def main():
     grad_rows = []
     if args.grad_bench:
         params0 = jnp.array([0.5, 0.5])
+        cms0_b = jnp.broadcast_to(ic.cms, (B, 2 * N))
+        mean0_b = ic.mean * jnp.ones(B)
         for impl in ["pallas", "refined", "xla"]:
-            def nell_impl(params, ys_one, impl=impl):
+            # Batch-first: the whole trial ensemble flows through ONE
+            # filter call (the fused kernel's native batch axis), so the
+            # pallas primal + implicit-function JVP is exercised exactly
+            # as in production instead of under a per-trial vmap.
+            def nell_batch(params, ys_b, impl=impl):
                 p1 = jnp.logaddexp(0.0, params[0])
                 p2 = jnp.logaddexp(0.0, params[1])
                 trans = sde_cond_moments_euler(lambda u: drift(u, p1), disp, dt, N)
                 _, _, out = moment_filter_cms(
                     trans.cms, trans.mean,
                     lambda y, u: meas_pmf(y, u, p2),
-                    ic.cms, ic.mean, ys_one, eigh_impl=impl,
+                    cms0_b, mean0_b, ys_b, eigh_impl=impl,
                 )
-                return out
+                return jnp.sum(out)
 
-            g = jax.jit(
-                jax.grad(
-                    lambda p, ys_b: jnp.sum(
-                        jax.vmap(lambda y: nell_impl(p, y), in_axes=1)(ys_b)
-                    )
-                )
-            )
+            g = jax.jit(jax.grad(nell_batch))
             try:
                 gval, t_g = common.timed_call(g, params0, ys)
             except Exception as e:  # an impl may not be available off-TPU

@@ -40,7 +40,8 @@ def _truth(seed, any_yss, grid_n, substeps):
     return pss, xs_grid
 
 
-def _score(data, mode, pss, xs_grid, zs, bf_means, mask):
+def _score_arrays(data, mode, pss, xs_grid, zs, bf_means):
+    """Per-trial metric arrays (trials,) / (trials, T) for one engine."""
     moments = jnp.asarray(data["moments"])
     mean = None if mode == "raw" else jnp.asarray(data["means"])
     scale = None
@@ -53,14 +54,13 @@ def _score(data, mode, pss, xs_grid, zs, bf_means, mask):
     )
     est_means = (moments[..., 1].T if mode == "raw" else jnp.asarray(data["means"]).T)
     mean_err = jnp.abs(est_means - bf_means)
-    finite = np.asarray(data["finite"])
-    return dict(
-        divergent=int(finite.shape[0] - finite.sum()),
-        cf_sup=float(jnp.mean(sup_e[mask])),
-        cf_l1=float(jnp.mean(l1_e[mask])),
-        cf_l2=float(jnp.mean(l2_e[mask])),
-        mean_abs_err=float(jnp.mean(mean_err[mask])),
-    )
+    return dict(cf_sup=sup_e, cf_l1=l1_e, cf_l2=l2_e, mean_abs_err=mean_err)
+
+
+def _reduce(arrays, mask, divergent):
+    out = {k: float(jnp.mean(v[mask])) for k, v in arrays.items()}
+    out["divergent"] = divergent
+    return out
 
 
 def main():
@@ -102,14 +102,36 @@ def main():
                 pss, xs_grid, bf_means = truth
 
                 mask = np.asarray(ours["finite"]) & np.asarray(ref["finite"])
+                a_ours = _score_arrays(ours, mode, pss, xs_grid, zs, bf_means)
+                a_ref = _score_arrays(ref, mode, pss, xs_grid, zs, bf_means)
+                # Joint scoring mask: the metric means are paired over
+                # trials where BOTH engines are finite AND both score
+                # cleanly (re-quadrature of a finite-but-near-singular
+                # moment trajectory can still NaN; such trials must not
+                # poison either side's mean).
+                scored = mask.copy()
+                for arrs in (a_ours, a_ref):
+                    for v in arrs.values():
+                        fin = np.asarray(jnp.isfinite(v))
+                        scored &= fin if fin.ndim == 1 else fin.all(axis=1)
+                n_all = int(np.asarray(ours["finite"]).shape[0])
                 rec = dict(
                     N=N, mode=mode, closure=closure,
-                    trials=int(np.asarray(ours["finite"]).shape[0]),
+                    trials=n_all,
                     both_finite=int(mask.sum()),
-                    ours=_score(ours, mode, pss, xs_grid, zs, bf_means, mask),
-                    ref=_score(ref, mode, pss, xs_grid, zs, bf_means, mask),
+                    scored=int(scored.sum()),
+                    ours=_reduce(
+                        a_ours, scored,
+                        int(n_all - np.asarray(ours["finite"]).sum()),
+                    ),
+                    ref=_reduce(
+                        a_ref, scored,
+                        int(n_all - np.asarray(ref["finite"]).sum()),
+                    ),
                 )
                 rec["ours"]["wall_time_s"] = round(float(ours["wall_time"]), 4)
+                if "rescued" in ours:
+                    rec["ours"]["rescued"] = int(ours["rescued"])
                 records.append(rec)
                 common.emit(rec)
 

@@ -22,11 +22,12 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--Ns", type=int, nargs="+", default=[2, 3, 4, 6, 8, 10])
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mode", choices=["raw", "central"], default="central")
     args = p.parse_args()
 
     rows = []
     for N in args.Ns:
-        data = common.load("convergence", f"mf_N{N}_s{args.seed}")
+        data = common.load("convergence", f"mf_N{N}_{args.mode}_s{args.seed}")
         means, variances = np.asarray(data["means"]), np.asarray(data["variances"])
         kf_m, kf_v = np.asarray(data["kf_m"]), np.asarray(data["kf_v"])
         _, ndiv = common.rm_divergent(means.T)
