@@ -106,6 +106,11 @@ def main():
     # --- batched TPU paths: fused Pallas kernel vs XLA-composed f64 ---
     # Central mode; the Pallas kernel's pivot floor plays the role of
     # the LDL completion (``stable=True``) of the XLA path.
+    # The refined (XLA-f64) leg is ~45x slower: one 4096-trial dispatch
+    # runs for minutes and trips the remote device's dispatch deadline
+    # (the round-2 error row).  Split its trial batch across several
+    # bounded dispatches — throughput is unchanged, each dispatch short.
+    trial_chunk = {"pallas": BATCH, "refined": min(512, BATCH)}
     for impl, stable in (("pallas", False), ("refined", True)):
         # Whole-leg retry: the accelerator tunnel can fault mid-run (not
         # just on the first compile, which _timeit already retries) —
@@ -119,12 +124,26 @@ def main():
                         c0, m0, y, stable=stable, eigh_impl=impl,
                     )
                 )
-                t, out = _timeit(filt, cms0, mean0, ys)
-                finite = jnp.isfinite(out[0][-1]).all(axis=-1)
+                ck = trial_chunk[impl]
+                run = (
+                    filt
+                    if ck >= BATCH
+                    else lambda c0, m0, y: [
+                        filt(c0[s:s + ck], m0[s:s + ck], y[:, s:s + ck])
+                        for s in range(0, BATCH, ck)
+                    ]
+                )
+                t, out = _timeit(run, cms0, mean0, ys)
+                if ck >= BATCH:
+                    last = out[0][-1]
+                else:
+                    last = jnp.concatenate([o[0][-1] for o in out], axis=0)
+                finite = jnp.isfinite(last).all(axis=-1)
                 results[f"tpu_batched_{impl}"] = {
                     "trials_per_s": BATCH / t,
                     "finite_frac": float(jnp.mean(finite)),
                     "batch": BATCH,
+                    "dispatch_chunk": ck,
                 }
                 break
             except Exception as e:  # transient accelerator-infra failures

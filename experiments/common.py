@@ -113,6 +113,51 @@ def timed_call(fn, *args, warmup: bool = True):
     return out, time.perf_counter() - t0
 
 
+def timed_call_time_chunked(fn, state, ys, chunk, traj_idx, warmup=True):
+    """Run a scan-over-time filter as several bounded device dispatches.
+
+    A single XLA execution covering a long scan (e.g. T=2000 at 2D N=5)
+    can run for minutes and trip the remote accelerator's dispatch
+    deadline ("UNAVAILABLE: TPU device error"); splitting the time axis
+    into equal chunks keeps each dispatch short while compiling exactly
+    once (all chunks share one shape).
+
+    ``fn(*state, ys_chunk)`` must return a tuple whose entries listed in
+    ``traj_idx`` are time-major trajectories; the next chunk's carry is
+    their final time slice, in order (the moment filters' state is
+    exactly the last (moments, mean[, scale]) row).  Every other entry
+    (the nell) accumulates additively across chunks.
+    """
+    T = ys.shape[0]
+    if chunk <= 0 or chunk >= T:
+        return timed_call(fn, *state, ys, warmup=warmup)
+    if T % chunk:
+        raise ValueError(f"chunk {chunk} must divide T {T}")
+    assert len(state) == len(traj_idx)
+
+    def run(st):
+        parts = []
+        for i in range(0, T, chunk):
+            out = fn(*st, ys[i:i + chunk])
+            st = tuple(out[k][-1] for k in traj_idx)
+            parts.append(out)
+        return parts
+
+    if warmup:
+        jax.block_until_ready(fn(*state, ys[:chunk]))
+    t0 = time.perf_counter()
+    parts = run(state)
+    jax.block_until_ready(parts)
+    dt = time.perf_counter() - t0
+    merged = tuple(
+        jnp.concatenate([p[k] for p in parts], axis=0)
+        if k in traj_idx
+        else sum(p[k] for p in parts)
+        for k in range(len(parts[0]))
+    )
+    return merged, dt
+
+
 def base_parser(description: str) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=description)
     p.add_argument("--seed", type=int, default=0)

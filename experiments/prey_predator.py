@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from experiments import common
 
 
-def run_one(N, mode, trials, T, tme_order, eigh_impl, transition, seed):
+def run_one(N, mode, trials, T, tme_order, eigh_impl, transition, seed,
+            chunk_T=0):
     from mfs_tpu.models import prey_predator
     from mfs_tpu.multi_dims import (
         generate_graded_lexico_multi_indices,
@@ -65,7 +66,9 @@ def run_one(N, mode, trials, T, tme_order, eigh_impl, transition, seed):
                 predict_fn=predict_fn,
             )
         )
-        (cmss, means, nell), dt_run = common.timed_call(fn, cms0, mean0, ys)
+        (cmss, means, nell), dt_run = common.timed_call_time_chunked(
+            fn, (cms0, mean0), ys, chunk_T, traj_idx=(0, 1)
+        )
     else:
         from mfs_tpu.multi_dims.moments import monomials_nd
 
@@ -82,8 +85,8 @@ def run_one(N, mode, trials, T, tme_order, eigh_impl, transition, seed):
                 predict_fn=predict_fn,
             )
         )
-        (scmss, means, scales, nell), dt_run = common.timed_call(
-            fn, scms0, mean0, scale0, ys
+        (scmss, means, scales, nell), dt_run = common.timed_call_time_chunked(
+            fn, (scms0, mean0, scale0), ys, chunk_T, traj_idx=(0, 1, 2)
         )
 
     err = jnp.abs(means - xss[:T])  # (T, B, 2)
@@ -109,6 +112,11 @@ def main():
     p = common.base_parser(__doc__)
     p.add_argument("--Ns", type=int, nargs="+", default=[3])
     p.add_argument("--T", type=int, default=2000)
+    p.add_argument("--chunk-T", type=int, default=250,
+                   help="split the time scan into dispatches of this "
+                        "many steps (0 = one dispatch); long single "
+                        "dispatches at large N trip the remote device's "
+                        "deadline")
     p.add_argument("--mode", choices=["central", "scaled"], default="central")
     p.add_argument("--tme-order", type=int, default=2)
     p.add_argument("--eigh-impls", nargs="+", default=["refined"],
@@ -128,7 +136,7 @@ def main():
         for impl in args.eigh_impls:
             row, nell = run_one(
                 N, args.mode, args.trials, args.T, args.tme_order,
-                impl, args.transition, args.seed,
+                impl, args.transition, args.seed, chunk_T=args.chunk_T,
             )
             nells[impl] = nell
             rows.append(row)

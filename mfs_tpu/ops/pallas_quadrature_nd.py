@@ -444,6 +444,13 @@ def nd_k_pallas(
         interpret = INTERPRET
     inds = np.asarray(inds, dtype=np.int64)
     d, s = inds.shape[0] - 1, inds.shape[1]
+    # The kernel's live DF column blocks (G/H gather, L columns, the
+    # solve workspace, and the K output) total ~(4 + d) s^2 f32 pairs
+    # per lane; cap the lane block so the scoped VMEM stack stays under
+    # the 16M limit (s = 28 at 512 lanes needs 28M and is rejected).
+    per_lane_bytes = (4 + d) * s * s * 8
+    fit = int(10e6 / per_lane_bytes) // 128 * 128
+    block_b = max(128, min(block_b, fit))
     ms = jnp.asarray(ms)
     in_dtype = ms.dtype
     batch_shape = ms.shape[:-1]

@@ -69,3 +69,38 @@ def test_trial_axes_concatenation(results_dir):
     )
     assert merged["ts"].shape == (5, 8)
     np.testing.assert_array_equal(merged["ts"][:, 4:], 4.0)
+
+
+def test_timed_call_time_chunked_matches_unchunked():
+    """Time-chunked dispatch must reproduce the single-dispatch filter
+    exactly: trajectories concatenate, the carry re-enters as the next
+    chunk's initial state, and the nell accumulates additively."""
+    import jax
+    import jax.numpy as jnp
+
+    def fake_filter(c0, m0, ys):
+        def body(carry, y):
+            c, m = carry
+            c2 = c * 0.9 + y[:, None] * 0.1
+            m2 = m * 0.95 + y * 0.05
+            return (c2, m2), (c2, m2, -jnp.log(jnp.abs(y) + 0.5))
+
+        _, (cs, ms, nl) = jax.lax.scan(body, (c0, m0), ys)
+        return cs, ms, nl.sum(0)
+
+    B, T = 4, 12
+    rng = np.random.default_rng(0)
+    c0 = jnp.ones((B, 3))
+    m0 = jnp.zeros((B,))
+    ys = jnp.asarray(rng.standard_normal((T, B)))
+    full, _ = common.timed_call(fake_filter, c0, m0, ys)
+    chunked, _ = common.timed_call_time_chunked(
+        fake_filter, (c0, m0), ys, 4, traj_idx=(0, 1)
+    )
+    for a, b in zip(full, chunked):
+        np.testing.assert_allclose(a, b, atol=1e-12)
+
+    with pytest.raises(ValueError):
+        common.timed_call_time_chunked(
+            fake_filter, (c0, m0), ys, 5, traj_idx=(0, 1)
+        )
