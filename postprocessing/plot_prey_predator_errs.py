@@ -23,12 +23,16 @@ def main():
     p.add_argument("--Ns", type=int, nargs="+", default=[2, 3, 4])
     p.add_argument("--mode", default="central")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tag", default="",
+                   help="artifact-name suffix written by "
+                        "experiments/prey_predator.py for non-default "
+                        "transition/eigh (e.g. _poly_pallas)")
     args = p.parse_args()
 
     fig, axes = plt.subplots(1, 2, figsize=(10, 3.8), sharey=True)
     for N in args.Ns:
         data = common.maybe_load(
-            "prey_predator", f"mf_N{N}_{args.mode}_s{args.seed}"
+            "prey_predator", f"mf_N{N}_{args.mode}_s{args.seed}{args.tag}"
         )
         if data is None:
             print(f"N={N}: no artifact, skipped")
