@@ -25,6 +25,12 @@ def main():
     p.add_argument("--true-p1", type=float, default=3.0)
     p.add_argument("--true-p2", type=float, default=3.0)
     p.add_argument("--opt-steps", type=int, default=100)
+    p.add_argument("--chunk-steps", type=int, default=10,
+                   help="run the batched L-BFGS as dispatches of this "
+                        "many optimiser steps (0 = one dispatch); one "
+                        "dispatch covering 100 steps x T=1000 filters "
+                        "runs ~19 min and trips the remote device's "
+                        "dispatch deadline")
     p.add_argument("--eigh-impl", default="refined",
                    choices=["refined", "xla", "jacobi", "pallas"])
     p.add_argument("--grad-bench", action="store_true",
@@ -70,26 +76,42 @@ def main():
         )
         return out  # (B,)
 
-    def fit(ys_all):
-        f = lambda P: jnp.sum(nell_all(P, ys_all))
-        opt = optax.lbfgs()
-        P0 = jnp.full((B, 2), 0.5)
-        value_and_grad = optax.value_and_grad_from_state(f)
+    f = lambda P: jnp.sum(nell_all(P, ys))
+    opt = optax.lbfgs()
+    value_and_grad = optax.value_and_grad_from_state(f)
 
-        def step(carry, _):
-            P, state = carry
-            value, grad = value_and_grad(P, state=state)
-            updates, state = opt.update(
-                grad, state, P, value=value, grad=grad, value_fn=f
-            )
-            return (optax.apply_updates(P, updates), state), value
-
-        (P, _), _ = jax.lax.scan(
-            step, (P0, opt.init(P0)), None, length=args.opt_steps
+    def step(carry, _):
+        P, state = carry
+        value, grad = value_and_grad(P, state=state)
+        updates, state = opt.update(
+            grad, state, P, value=value, grad=grad, value_fn=f
         )
-        return jnp.logaddexp(0.0, P), nell_all(P, ys_all)
+        return (optax.apply_updates(P, updates), state), value
 
-    (p_hat, final_nell), dt_run = common.timed_call(jax.jit(fit), ys)
+    # Bounded dispatches: one jitted segment of ``chunk`` optimiser
+    # steps, carried across a host loop (compiles once — all segments
+    # share one shape).  A single dispatch covering the full
+    # optimisation trips the remote device's dispatch deadline.
+    chunk = args.chunk_steps or args.opt_steps
+    if args.opt_steps % chunk:
+        raise ValueError(f"chunk {chunk} must divide opt-steps {args.opt_steps}")
+    carry0 = (jnp.full((B, 2), 0.5), opt.init(jnp.full((B, 2), 0.5)))
+    segment = jax.jit(
+        lambda c: jax.lax.scan(step, c, None, length=chunk)[0]
+    )
+    finish = jax.jit(lambda c: (jnp.logaddexp(0.0, c[0]), nell_all(c[0], ys)))
+
+    import time as _time
+
+    jax.block_until_ready(segment(carry0))  # warm-up compile
+    t0 = _time.perf_counter()
+    carry = carry0
+    for _ in range(args.opt_steps // chunk):
+        carry = segment(carry)
+        jax.block_until_ready(carry[0])
+    p_hat, final_nell = finish(carry)
+    jax.block_until_ready((p_hat, final_nell))
+    dt_run = _time.perf_counter() - t0
 
     finite = jnp.isfinite(p_hat).all(axis=-1)
     common.save_results(
