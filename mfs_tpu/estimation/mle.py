@@ -63,6 +63,7 @@ def fit_mle_optax(
     init_params: Array,
     optimiser: Any = None,
     num_steps: int = 100,
+    chunk_steps: int = 0,
 ) -> Tuple[Array, Array]:
     """On-device MLE: a jitted ``lax.scan`` over optimiser updates.
 
@@ -70,6 +71,15 @@ def fit_mle_optax(
     over many independent MLE problems (e.g. one per Monte-Carlo trial)
     — the TPU-native replacement for the reference's per-trial SciPy
     processes.
+
+    ``chunk_steps > 0`` runs the loop as jitted segments of that many
+    optimiser steps carried across a host loop (one compile — every
+    segment shares its shape; the optimiser state is the carry).  Use
+    it when a single device dispatch covering all ``num_steps`` would
+    run for minutes: remote accelerators enforce a per-dispatch
+    deadline, and a big batched MLE (1000 trials x T=1000 filter
+    evaluations per L-BFGS step) trips it.  The trajectory is
+    bitwise-identical to the single-dispatch run.
 
     Returns
     -------
@@ -93,5 +103,22 @@ def fit_mle_optax(
 
     init_params = jnp.asarray(init_params)
     state0 = optimiser.init(init_params)
-    (params, _), losses = jax.lax.scan(step, (init_params, state0), None, length=num_steps)
-    return params, losses
+    if not chunk_steps or chunk_steps >= num_steps:
+        (params, _), losses = jax.lax.scan(
+            step, (init_params, state0), None, length=num_steps
+        )
+        return params, losses
+
+    if num_steps % chunk_steps:
+        raise ValueError(
+            f"chunk_steps {chunk_steps} must divide num_steps {num_steps}"
+        )
+    segment = jax.jit(
+        lambda c: jax.lax.scan(step, c, None, length=chunk_steps)
+    )
+    carry, parts = (init_params, state0), []
+    for _ in range(num_steps // chunk_steps):
+        carry, losses = segment(carry)
+        jax.block_until_ready(losses)
+        parts.append(losses)
+    return carry[0], jnp.concatenate(parts, axis=0)

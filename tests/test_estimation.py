@@ -70,6 +70,26 @@ def test_mle_optax_matches_scipy():
     )
 
 
+def test_mle_optax_chunked_matches_single_dispatch():
+    """Segmented dispatches (chunk_steps) must retrace the exact same
+    optimiser trajectory as the one-scan run — the optimiser state is
+    the carry, so splitting is purely a dispatch-size choice."""
+    _, ys = _simulate(jax.random.PRNGKey(11))
+    nell = _nell_fn(ys)
+    p_full, l_full = fit_mle_optax(nell, jnp.array([0.1]), num_steps=12)
+    p_chunk, l_chunk = fit_mle_optax(
+        nell, jnp.array([0.1]), num_steps=12, chunk_steps=4
+    )
+    np.testing.assert_allclose(np.asarray(p_chunk), np.asarray(p_full), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(l_chunk), np.asarray(l_full), rtol=1e-12)
+    assert l_chunk.shape == (12,)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        fit_mle_optax(nell, jnp.array([0.1]), num_steps=12, chunk_steps=5)
+
+
 def test_pcrlb_matches_kf_covariance():
     """On a linear-Gaussian model the PCRLB equals the KF covariance."""
     key = jax.random.PRNGKey(5)
