@@ -115,9 +115,14 @@ def moment_quadrature_nd(
             # (O(s^2) traced statements — no s gate), then the batched
             # refined eigensolver: together they cover the large bases
             # (2D N = 5..7+) the fused kernel's per-entry unrolling
-            # could not reach.
+            # could not reach.  Perturbative polish (polish_sweeps=0):
+            # measured on the real N=7 operators (s=28, 128 lanes) it
+            # is 18x cheaper than 2 f64-emulated Jacobi sweeps
+            # (10.7 vs 193 ms) AND more accurate than 1 sweep (recon
+            # 1.3e-11 vs 1.7e-9) — the Jacobi polish was ~95% of the
+            # whole quadrature's cost at large s.
             Ks = nd_k_pallas(ms, inds)
-            vals, vecs = eigh_refined(Ks, polish_sweeps=2, sort=sort_nodes)
+            vals, vecs = eigh_refined(Ks, sort=sort_nodes)
     else:
         R = ldl_chol(G) if stable else jax.lax.linalg.cholesky(G)
         # Explicitly broadcast over the d multiplication matrices —
@@ -137,7 +142,9 @@ def moment_quadrature_nd(
         elif eigh_impl == "xla":
             vals, vecs = eigh_xla(Ks, sort=sort_nodes)
         else:
-            vals, vecs = eigh_refined(Ks, polish_sweeps=2, sort=sort_nodes)
+            # Perturbative polish — see the pallas branch above for the
+            # measured 18x/accuracy justification.
+            vals, vecs = eigh_refined(Ks, sort=sort_nodes)
     # vals: (..., d, s); vecs: (..., d, s, s), columns are eigenvectors.
 
     combs = _cartesian_indices(d, s)  # (s^d, d)
