@@ -270,10 +270,14 @@ def moment_filter_taylor(
     be *differentiable* in the node argument (they are evaluated at the
     running mean and differentiated ``taylor_order`` times).
 
+    Batch-first like every other filter: ``cms0 (..., 2N)``,
+    ``ys (T, ...)``.  The derivative towers are nested unit-tangent
+    JVPs (``make_derivatives_elementwise``), which batch over trials
+    without materialising cross-trial Jacobians.
+
     Returns
     -------
-    cmss : (T, 2N), means : (T,), nell : scalar  (single-trial only —
-    the repeated ``jax.grad`` tower does not batch economically).
+    cmss : (T, ..., 2N), means : (T, ...), nell : (...)
     """
     num_moments = cms0.shape[-1]
     _check_even(num_moments)
@@ -306,10 +310,14 @@ def moment_filter_taylor(
                 out.append(out[-1] * (u - mean_u))
             return jnp.stack(out, axis=-1) * like(u)[..., None]
 
-        cms = taylor_quadrature(centred_monomials, cms_p, mean, order) / pdf_y
+        cms = taylor_quadrature(
+            centred_monomials, cms_p, mean, order
+        ) / pdf_y[..., None]
         nell = nell - jnp.log(pdf_y)
         return (cms, mean_u, nell), (cms, mean_u)
 
-    init = (cms0, jnp.asarray(mean0, dtype=cms0.dtype), jnp.asarray(0.0, cms0.dtype))
-    (_, _, nell), (cmss, means) = jax.lax.scan(step, init, ys)
+    batch_shape = cms0.shape[:-1]
+    mean0 = jnp.broadcast_to(jnp.asarray(mean0, dtype=cms0.dtype), batch_shape)
+    nell0 = jnp.zeros(batch_shape, dtype=cms0.dtype)
+    (_, _, nell), (cmss, means) = jax.lax.scan(step, (cms0, mean0, nell0), ys)
     return cmss, means, nell

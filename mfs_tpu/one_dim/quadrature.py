@@ -72,13 +72,21 @@ def moment_quadrature(
     stable : bool
         Replace the Cholesky factorisation by the LDL-based modified
         Cholesky (PD completion) for ill-conditioned moment matrices.
-    eigh_impl : {"refined", "xla", "jacobi"}
-        Eigensolver backend.
+    eigh_impl : {"auto", "refined", "xla", "jacobi", "pallas"}
+        Eigensolver backend.  "auto" picks the measured winner for the
+        platform and batch size (``mfs_tpu.ops.dispatch``): the fused
+        Pallas kernel on TPU at production batch sizes, the refined
+        XLA path otherwise.
 
     Returns
     -------
     weights : Array (..., n), nodes : Array (..., n)
     """
+    if eigh_impl == "auto":
+        from mfs_tpu.ops.dispatch import resolve_impl_1d
+
+        batch = int(np.prod(ms.shape[:-1])) if ms.ndim > 1 else 1
+        eigh_impl = resolve_impl_1d(ms.shape[-1] // 2, batch)
     if eigh_impl == "pallas":
         # Fully fused double-f32 Pallas kernel (TPU): replaces the whole
         # gather/cholesky/solve/eigh pipeline, not just the eigh.  Has a
@@ -162,6 +170,8 @@ def make_derivatives(f: Callable, order: int, argnum: int = 0):
 
     Uses forward-mode ``jacfwd`` so vector-valued integrands work too
     (the Taylor filter expands the whole conditional-moment vector).
+    Scalar-argument only — for the batched tower used by the filters
+    see ``make_derivatives_elementwise``.
     """
     derivatives = [f]
     for _ in range(order):
@@ -169,6 +179,32 @@ def make_derivatives(f: Callable, order: int, argnum: int = 0):
             (lambda g: lambda x, *args: jax.jacfwd(g, argnums=argnum)(x, *args))(
                 derivatives[-1]
             )
+        )
+    return derivatives
+
+
+def make_derivatives_elementwise(f: Callable, order: int):
+    """Derivative tower ``[f, f', ..., f^{(order)}]`` for *elementwise* f.
+
+    Each derivative is a nested unit-tangent JVP: for a function that
+    acts elementwise in its first argument (possibly with extra
+    trailing output axes, like the conditional-moment vectors), the
+    directional derivative along ``ones_like(x)`` IS the elementwise
+    derivative.  Unlike ``jacfwd`` this never materialises a (B, B)
+    Jacobian, so the tower batches over arbitrary leading axes — the
+    TPU-first requirement the reference's scalar tower does not meet.
+    Exact (plain forward-mode AD), unlike ``jax.experimental.jet``
+    whose expansion rules for ``tanh``/``integer_pow`` carry ~1e-8
+    relative error.
+    """
+    derivatives = [f]
+    for _ in range(order):
+        derivatives.append(
+            (
+                lambda g: lambda x, *args: jax.jvp(
+                    lambda u: g(u, *args), (x,), (jnp.ones_like(x),)
+                )[1]
+            )(derivatives[-1])
         )
     return derivatives
 
@@ -182,11 +218,20 @@ def taylor_quadrature(
 ) -> Array:
     """E[f(X)] by Taylor expansion around the mean with central moments.
 
-    ``E[f(X)] ≈ f(m) + Σ_r f^{(r)}(m) cms[r] / r!`` (reference:
-    ``mfs/one_dim/quadtures.py:151-183``).
+    ``E[f(X)] ≈ f(m) + Σ_r f^{(r)}(m) cms[..., r] / r!`` (reference:
+    ``mfs/one_dim/quadtures.py:151-183``).  Batched: ``cms (..., 2N)``
+    and ``mean (...)`` may carry leading trial axes, and ``f`` must be
+    elementwise in its first argument (all in-repo model callables
+    are — see ``mfs_tpu.sde.transitions``).  Vector-valued integrands
+    (extra trailing axes on ``f``'s output) broadcast correctly.
     """
-    derivatives = make_derivatives(f, order)
+    cms = jnp.asarray(cms)
+    mean = jnp.asarray(mean)
+    derivatives = make_derivatives_elementwise(f, order)
     result = derivatives[0](mean, *operands)
     for r in range(1, order + 1):
-        result = result + derivatives[r](mean, *operands) * cms[r] / math.factorial(r)
+        coeff = cms[..., r] / math.factorial(r)
+        d_r = derivatives[r](mean, *operands)
+        coeff = coeff.reshape(coeff.shape + (1,) * (d_r.ndim - coeff.ndim))
+        result = result + d_r * coeff
     return result

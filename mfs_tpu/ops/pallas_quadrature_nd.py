@@ -450,7 +450,14 @@ def nd_k_pallas(
     # the 16M limit (s = 28 at 512 lanes needs 28M and is rejected).
     per_lane_bytes = (4 + d) * s * s * 8
     fit = int(10e6 / per_lane_bytes) // 128 * 128
-    block_b = max(128, min(block_b, fit))
+    if fit < 128:
+        raise ValueError(
+            f"builder_nd_k_pallas: d={d}, s={s} needs "
+            f"{per_lane_bytes} B/lane; even the minimum 128-lane block "
+            "exceeds the VMEM budget — use the XLA K-builder instead."
+        )
+    # Only ever *shrink* a caller-specified block (never grow past it).
+    block_b = min(block_b, fit)
     ms = jnp.asarray(ms)
     in_dtype = ms.dtype
     batch_shape = ms.shape[:-1]

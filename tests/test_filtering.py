@@ -242,3 +242,32 @@ def test_taylor_filter_tracks_roughly(data):
     )
     assert bool(jnp.isfinite(cmss_t).all())
     assert float(jnp.abs(means_t - means_c).max()) < 0.3
+
+
+def test_taylor_filter_batches(data):
+    """Batched Taylor filter == stacked single-trial runs (the tower is
+    nested unit-tangent JVPs, so it must vectorise exactly)."""
+    N = 3
+    trans = sde_cond_moments_tme(drift, dispersion, DT, 2, N)
+    _, cms0, _ = _init_moments(N)
+    from mfs_tpu.one_dim.filtering import moment_filter_taylor
+
+    ys = jnp.stack([data[:30], data[10:40], -data[:30]], axis=1)  # (T, 3)
+    cms0_b = jnp.broadcast_to(cms0, (3, 2 * N))
+    cmss_b, means_b, nell_b = moment_filter_taylor(
+        trans.cms, trans.mean, measurement_cond_pdf, cms0_b, MEAN0, ys,
+        taylor_order=2,
+    )
+    assert cmss_b.shape == (30, 3, 2 * N)
+    for i in range(3):
+        cmss_i, means_i, nell_i = moment_filter_taylor(
+            trans.cms, trans.mean, measurement_cond_pdf, cms0, MEAN0,
+            ys[:, i], taylor_order=2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(means_b[:, i]), np.asarray(means_i), rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(cmss_b[:, i]), np.asarray(cmss_i), rtol=1e-10, atol=1e-12
+        )
+        np.testing.assert_allclose(float(nell_b[i]), float(nell_i), rtol=1e-12)
