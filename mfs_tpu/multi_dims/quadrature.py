@@ -94,6 +94,11 @@ def moment_quadrature_nd(
     G = ms[..., inds[0]]  # (..., s, s)
     Hs = ms[..., inds[1:]]  # (..., d, s, s)
 
+    if eigh_impl == "auto":
+        from mfs_tpu.ops.dispatch import resolve_impl_nd
+
+        batch = int(np.prod(ms.shape[:-1])) if ms.ndim > 1 else 1
+        eigh_impl = resolve_impl_nd(s, batch)
     if eigh_impl == "pallas":
         from mfs_tpu.ops.pallas_quadrature_nd import (
             MAX_S,

