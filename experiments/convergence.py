@@ -66,7 +66,11 @@ def main():
     # path fails identically), so ``central`` is the headline mode.
     p.add_argument("--mode", choices=["raw", "central"], default="central")
     p.add_argument("--eigh-impl", default="refined",
-                   choices=["refined", "xla", "jacobi", "pallas"])
+                   choices=["refined", "xla", "jacobi", "pallas", "auto"])
+    p.add_argument("--pf-particles", type=int, nargs="*", default=[],
+                   help="also run the particle-filter convergence foil at "
+                        "these particle counts (reference "
+                        "dardel/convergence/convergence_pf.py)")
     args = p.parse_args()
     common.setup(args)
 
@@ -152,6 +156,79 @@ def main():
         rows.append(row)
         common.emit(row)
 
+    # --- particle-filter convergence foil (reference
+    # ``dardel/convergence/convergence_pf.py``): variance-optimal
+    # proposal SMC vs the same exact KF, swept over particle counts.
+    # One batched call per count — the reference runs 10k separate OS
+    # processes; the per-step ``out_fn`` reduction keeps memory at
+    # O(B x n) so 1000 trials x 1e4 particles fit on one chip.
+    if args.pf_particles:
+        from mfs_tpu.filters.resampling import stratified
+        from mfs_tpu.filters.smc import particle_filter
+
+        K_gain = Q / (Q + XI)
+        prop_cov = Q - K_gain * Q
+
+        def proposal_sampler(anc, y, key):
+            m = F * anc + K_gain * (y - F * anc)
+            return m + math.sqrt(prop_cov) * jax.random.normal(key, anc.shape)
+
+        def proposal_density(x, anc, y):
+            m = F * anc + K_gain * (y - F * anc)
+            return jnp.exp(-0.5 * (x - m) ** 2 / prop_cov) / math.sqrt(
+                2 * math.pi * prop_cov
+            )
+
+        def transition_density(x, anc):
+            return jnp.exp(-0.5 * (x - F * anc) ** 2 / Q) / math.sqrt(
+                2 * math.pi * Q
+            )
+
+        B = args.trials
+        for npart in args.pf_particles:
+            init_sampler = lambda key, n: MEAN0 + math.sqrt(
+                VAR0
+            ) * jax.random.normal(key, (B, n))
+            fn = jax.jit(
+                lambda y, key, n=npart: particle_filter(
+                    proposal_sampler, proposal_density, transition_density,
+                    meas, y, init_sampler, key, n, stratified,
+                    out_fn=lambda s: (
+                        jnp.mean(s, axis=-1), jnp.var(s, axis=-1)
+                    ),
+                )
+            )
+            (pf_m, pf_v), dt_run = common.timed_call(
+                fn, ys, jax.random.PRNGKey(args.seed + 7)
+            )
+            finite = (
+                jnp.isfinite(pf_m).all(axis=0)
+                & jnp.isfinite(pf_v).all(axis=0)
+                & (pf_v > 0).all(axis=0)
+            )
+            m_f, v_f = pf_m[:, finite], pf_v[:, finite]
+            kf_m_f, kf_v_f = kf_m[:, finite], kf_v[:, finite]
+            kl = 0.5 * (
+                jnp.log(kf_v_f / v_f)
+                + (v_f + (m_f - kf_m_f) ** 2) / kf_v_f
+                - 1.0
+            )
+            common.save_results(
+                "convergence", f"pf_{npart}_s{args.seed}",
+                means=pf_m, variances=pf_v, finite=finite,
+            )
+            row = dict(
+                experiment="convergence", method="pf", nparticles=npart,
+                trials=B,
+                divergent=int(B - finite.sum()),
+                abs_mean_err=float(jnp.mean(jnp.abs(m_f - kf_m_f))),
+                abs_var_err=float(jnp.mean(jnp.abs(v_f - kf_v_f))),
+                gauss_kl=float(jnp.mean(kl)),
+                wall_time_s=round(float(dt_run), 4),
+            )
+            rows.append(row)
+            common.emit(row)
+
     import json
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -165,8 +242,9 @@ def main():
                 old_rows = json.load(f).get("rows", [])
         except Exception:
             old_rows = []
-    mine = {(r["N"], args.mode) for r in rows}
-    keep = [r for r in old_rows if (r["N"], r.get("mode", "raw")) not in mine]
+    key_of = lambda r: (r.get("N"), r.get("mode"), r.get("nparticles"))
+    mine = {key_of(r) for r in rows}
+    keep = [r for r in old_rows if key_of(r) not in mine]
     with open(out, "w") as f:
         json.dump(
             dict(

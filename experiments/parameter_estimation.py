@@ -14,6 +14,7 @@ import json
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from experiments import common
 
@@ -32,7 +33,12 @@ def main():
                         "runs ~19 min and trips the remote device's "
                         "dispatch deadline")
     p.add_argument("--eigh-impl", default="refined",
-                   choices=["refined", "xla", "jacobi", "pallas"])
+                   choices=["refined", "xla", "jacobi", "pallas", "auto"])
+    p.add_argument("--gtol", type=float, default=1e-5,
+                   help="per-trial gradient inf-norm stopping tolerance")
+    p.add_argument("--scipy-check", type=int, default=0,
+                   help="cross-check this many trials against per-trial "
+                        "SciPy L-BFGS-B on CPU (reference optimiser)")
     p.add_argument("--grad-bench", action="store_true",
                    help="also time one batched grad(sum nell) per eigh impl")
     args = p.parse_args()
@@ -57,70 +63,47 @@ def main():
     # trials flow through ONE filter call per objective evaluation —
     # the per-trial parameters broadcast through the transition/emission
     # closures along the native batch axis, and because the summed nell
-    # is block-separable in the per-trial parameters, its gradient IS
-    # the stack of per-trial gradients.  One optax L-BFGS then drives
-    # all 1000 independent optimisations in lockstep on the TPU (the
-    # reference drives SciPy L-BFGS-B one OS process per trial:
-    # ``dardel/parameter_estimation/mf.py:37-73``).
-    import optax
+    # is block-separable in the per-trial parameters, its VJP against
+    # ones IS the stack of per-trial gradients.  ``lbfgs_batched``
+    # drives every trial's OWN L-BFGS iteration (per-trial curvature
+    # history + Armijo line search), freezes converged trials, and
+    # stops when all are done — the reference drives SciPy L-BFGS-B
+    # one OS process per trial (``dardel/parameter_estimation/mf.py:37-73``).
+    from mfs_tpu.estimation.lbfgs_batched import lbfgs_batched
 
-    def nell_all(P, ys_all):
+    def nell_all(P, ys_all, n_t=None, impl=None):
+        n_t = n_t if n_t is not None else B
         p1 = jnp.logaddexp(0.0, P[:, 0])[:, None]  # (B,1): broadcasts over nodes
         p2 = jnp.logaddexp(0.0, P[:, 1])[:, None]
         trans = sde_cond_moments_euler(lambda u: drift(u, p1), disp, dt, N)
         _, _, out = moment_filter_cms(
             trans.cms, trans.mean,
             lambda y, u: meas_pmf(y, u, p2),
-            jnp.broadcast_to(ic.cms, (B, 2 * N)), ic.mean * jnp.ones(B),
-            ys_all, eigh_impl=mle_impl,
+            jnp.broadcast_to(ic.cms, (n_t, 2 * N)), ic.mean * jnp.ones(n_t),
+            ys_all, eigh_impl=impl or mle_impl,
         )
         return out  # (B,)
 
-    f = lambda P: jnp.sum(nell_all(P, ys))
-    opt = optax.lbfgs()
-    value_and_grad = optax.value_and_grad_from_state(f)
-
-    def step(carry, _):
-        P, state = carry
-        value, grad = value_and_grad(P, state=state)
-        updates, state = opt.update(
-            grad, state, P, value=value, grad=grad, value_fn=f
-        )
-        return (optax.apply_updates(P, updates), state), value
-
-    # Bounded dispatches: one jitted segment of ``chunk`` optimiser
-    # steps, carried across a host loop (compiles once — all segments
-    # share one shape).  A single dispatch covering the full
-    # optimisation trips the remote device's dispatch deadline.
-    chunk = args.chunk_steps or args.opt_steps
-    if args.opt_steps % chunk:
-        raise ValueError(f"chunk {chunk} must divide opt-steps {args.opt_steps}")
-    carry0 = (jnp.full((B, 2), 0.5), opt.init(jnp.full((B, 2), 0.5)))
-    segment = jax.jit(
-        lambda c: jax.lax.scan(step, c, None, length=chunk)[0]
+    p_raw, info = lbfgs_batched(
+        lambda P: nell_all(P, ys), jnp.full((B, 2), 0.5),
+        max_steps=args.opt_steps, chunk_steps=args.chunk_steps or 10,
+        gtol=args.gtol,
     )
-    finish = jax.jit(lambda c: (jnp.logaddexp(0.0, c[0]), nell_all(c[0], ys)))
+    p_hat = jnp.logaddexp(0.0, p_raw)
+    final_nell = info["nell"]
+    dt_run = info["wall_s"]
 
-    import time as _time
-
-    jax.block_until_ready(segment(carry0))  # warm-up compile
-    t0 = _time.perf_counter()
-    carry = carry0
-    for _ in range(args.opt_steps // chunk):
-        carry = segment(carry)
-        jax.block_until_ready(carry[0])
-    p_hat, final_nell = finish(carry)
-    jax.block_until_ready((p_hat, final_nell))
-    dt_run = _time.perf_counter() - t0
-
-    finite = jnp.isfinite(p_hat).all(axis=-1)
+    finite = jnp.isfinite(p_hat).all(axis=-1) & jnp.asarray(info["converged"])
     common.save_results(
-        "parameter_estimation", f"mf_N{N}_s{args.seed}", p_hat=p_hat, nell=final_nell
+        "parameter_estimation", f"mf_N{N}_s{args.seed}", p_hat=p_hat,
+        nell=final_nell, steps=info["steps"], converged=info["converged"],
     )
     mle_row = dict(
         experiment="parameter_estimation", N=N, trials=B, T=args.T,
         eigh_impl=mle_impl,
         divergent=int(B - finite.sum()),
+        median_steps=int(np.median(np.asarray(info["steps"]))),
+        max_steps_used=int(np.asarray(info["steps"]).max()),
         p1_mean=float(jnp.mean(p_hat[finite, 0])),
         p1_std=float(jnp.std(p_hat[finite, 0])),
         p2_mean=float(jnp.mean(p_hat[finite, 1])),
@@ -129,6 +112,47 @@ def main():
         trials_per_sec=round(B / float(dt_run), 2),
     )
     common.emit(mle_row)
+
+    # --- per-trial SciPy L-BFGS-B quality cross-check (VERDICT r03
+    # item 5): rerun the first --scipy-check trials through the
+    # reference's own optimiser (SciPy, one problem at a time, CPU
+    # xla-f64 filter) on IDENTICAL data and compare the fitted params.
+    scipy_rows = None
+    if args.scipy_check:
+        import scipy.optimize as sopt
+
+        K = min(args.scipy_check, B)
+        cpu = jax.devices("cpu")[0]
+        diffs = []
+        with jax.default_device(cpu):
+            ys_cpu = jax.device_put(np.asarray(ys[:, :K]), cpu)
+
+            def nell_one_host(q, i):
+                out = nell_all(
+                    jnp.broadcast_to(q, (1, 2)), ys_cpu[:, i:i + 1], n_t=1,
+                    impl="xla",
+                )
+                return out[0]
+
+            vg = jax.jit(jax.value_and_grad(nell_one_host), static_argnums=1)
+            for i in range(K):
+                r = sopt.minimize(
+                    lambda x, i=i: [
+                        np.asarray(v, np.float64)
+                        for v in vg(jnp.asarray(x), i)
+                    ],
+                    np.full(2, 0.5), jac=True, method="L-BFGS-B",
+                )
+                p_sp = np.logaddexp(0.0, r.x)
+                diffs.append(p_sp - np.asarray(p_hat[i]))
+        diffs = np.asarray(diffs)
+        scipy_rows = dict(
+            trials_checked=K,
+            max_abs_param_diff=float(np.nanmax(np.abs(diffs))),
+            median_abs_param_diff=float(np.nanmedian(np.abs(diffs))),
+        )
+        common.emit(dict(experiment="parameter_estimation_scipy_check",
+                         **scipy_rows))
 
     # --- gradient-throughput ablation (VERDICT r02 item 3) ---
     # One batched grad(sum nell) evaluation at the init point per
@@ -172,8 +196,9 @@ def main():
     out = dict(
         protocol=(
             f"Well-Poisson MLE, (p1,p2)=({args.true_p1},{args.true_p2}), "
-            f"T={args.T}, N={N}, {B} MC trials, batched on-device BFGS "
-            f"(softplus reparam, {args.opt_steps} iters) on the "
+            f"T={args.T}, N={N}, {B} MC trials, per-trial batched "
+            f"L-BFGS (lbfgs_batched: softplus reparam, gtol={args.gtol}, "
+            f"early stop, cap {args.opt_steps} iters) on the "
             f"moment_filter_cms nell; counterpart of "
             f"dardel/parameter_estimation/mf.py:37-77 (SciPy L-BFGS-B, "
             f"one process per trial).  grad_rows: one batched "
@@ -181,6 +206,7 @@ def main():
         ),
         hardware="single TPU v5e chip",
         mle=mle_row,
+        scipy_check=scipy_rows,
         grad_rows=grad_rows,
     )
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -13,7 +13,7 @@ Key protocol: the input key is split once into (init, scan); each scan
 step splits its key into (propagation, resampling) children, so no key
 is both consumed directly and re-split (JAX key-usage contract).
 """
-from typing import Callable, Tuple
+from typing import Any, Callable, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +51,7 @@ def bootstrap_filter(
     resampling: Callable[[Array, Array], Array],
     conti_resampling: bool = False,
     vector_state: bool = False,
+    remat_chunk: int = 0,
 ) -> Tuple[Array, FloatScalar]:
     """Bootstrap particle filter over an ensemble of trials.
 
@@ -71,6 +72,15 @@ def bootstrap_filter(
         Use the differentiable continuous resampler (scalar states).
     vector_state : bool
         Particles carry a trailing state axis ``dx``.
+    remat_chunk : int
+        When > 0 (and dividing T), run the scan as T/chunk
+        checkpointed segments: reverse-mode differentiation then
+        stores only segment-boundary particle states and recomputes
+        each segment's interior on the backward pass — O(T/c + c)
+        instead of O(T) live residuals.  Required for PF-MLE
+        gradients at production sizes (T = 1000, thousands of
+        particles x trials would otherwise need tens of GB).  Forward
+        results are unchanged.
 
     Returns
     -------
@@ -102,8 +112,27 @@ def bootstrap_filter(
     init = init_sampler(key_init, nsamples)
     batch_shape = init.shape[: init.ndim - (2 if vector_state else 1)]
     nell0 = jnp.zeros(batch_shape, init.dtype)
-    keys = jax.random.split(key_scan, ys.shape[0])
-    (_, nell), samples = jax.lax.scan(step, (init, nell0), (ys, keys))
+    T = ys.shape[0]
+    keys = jax.random.split(key_scan, T)
+    if remat_chunk and remat_chunk < T:
+        if T % remat_chunk:
+            raise ValueError(
+                f"remat_chunk {remat_chunk} must divide T {T}"
+            )
+        c = remat_chunk
+        ys_seg = ys.reshape((T // c, c) + ys.shape[1:])
+        keys_seg = keys.reshape((T // c, c) + keys.shape[1:])
+
+        @jax.checkpoint
+        def segment(carry, elem):
+            return jax.lax.scan(step, carry, elem)
+
+        (_, nell), samples = jax.lax.scan(
+            segment, (init, nell0), (ys_seg, keys_seg)
+        )
+        samples = samples.reshape((T,) + samples.shape[2:])
+    else:
+        (_, nell), samples = jax.lax.scan(step, (init, nell0), (ys, keys))
     return samples, nell
 
 
@@ -118,16 +147,23 @@ def particle_filter(
     nsamples: int,
     resampling: Callable[[Array, Array], Array],
     vector_state: bool = False,
+    out_fn: Callable[[Array], Any] = None,
 ) -> Array:
     """Proposal-based SMC (importance weights corrected by the
     transition/proposal density ratio), batch-first like
     ``bootstrap_filter``.
 
-    Returns the resampled particle trajectories (T, ..., n[, dx]).
+    Returns the resampled particle trajectories (T, ..., n[, dx]) — or,
+    when ``out_fn`` is given, ``out_fn(samples)`` per step stacked over
+    time.  A reducing ``out_fn`` (e.g. per-step mean/variance) keeps
+    the memory footprint at O(carry) instead of O(T x particles),
+    which is what lets the convergence study sweep 1e4+ particles over
+    1000 batched trials on one chip.
 
     Reference: ``mfs/classical_filters_smoothers/smc.py:87-141``.
     """
     key_init, key_scan = jax.random.split(key)
+    reduce = out_fn if out_fn is not None else (lambda s: s)
 
     def step(ancestors, elem):
         y, k = elem
@@ -141,7 +177,7 @@ def particle_filter(
         )
         weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
         samples = _gather_particles(samples, resampling(weights, k_res), vector_state)
-        return samples, samples
+        return samples, reduce(samples)
 
     init = init_sampler(key_init, nsamples)
     keys = jax.random.split(key_scan, ys.shape[0])

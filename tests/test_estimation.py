@@ -122,3 +122,49 @@ def test_pcrlb_matches_kf_covariance():
         ys[:, 0],
     )
     np.testing.assert_allclose(pcrlb, np.asarray(vfs)[:, 0, 0], rtol=1e-6)
+
+
+def test_lbfgs_batched_per_trial_convergence():
+    """Per-trial batched L-BFGS: every independent problem reaches its
+    own optimum (checked vs closed-form), converged trials freeze, the
+    host loop early-stops."""
+    from mfs_tpu.estimation import lbfgs_batched
+
+    B, p = 12, 2
+    opts = jax.random.normal(jax.random.PRNGKey(0), (B, p)) * 2.0
+    curv = 0.5 + jax.random.uniform(jax.random.PRNGKey(1), (B, p)) * 6.0
+
+    def nell(P):
+        return jnp.sum(curv * (P - opts) ** 2, -1)
+
+    P, info = lbfgs_batched(
+        nell, jnp.zeros((B, p)), max_steps=100, chunk_steps=10, gtol=1e-10
+    )
+    assert bool(np.asarray(info["converged"]).all())
+    # pure quadratic: the optimum is `opts` exactly
+    np.testing.assert_allclose(np.asarray(P), np.asarray(opts), atol=1e-9)
+    # early stop: nowhere near the 100-step cap
+    assert info["segments_run"] < 10
+
+
+def test_fit_mle_batched_matches_closed_form():
+    """vmapped-optax driver agrees with the hand-vectorised one."""
+    from mfs_tpu.estimation import fit_mle_batched, lbfgs_batched
+
+    B, p = 6, 2
+    opts = jnp.linspace(-1.0, 2.0, B * p).reshape(B, p)
+
+    def per_trial(q, o):
+        return jnp.sum((q - o) ** 2) + 0.1 * jnp.sum(jnp.cos(q))
+
+    P1, info1 = fit_mle_batched(
+        per_trial, jnp.zeros((B, p)), opts, max_steps=60, chunk_steps=10,
+        gtol=1e-9,
+    )
+    P2, info2 = lbfgs_batched(
+        lambda P: jax.vmap(per_trial)(P, opts), jnp.zeros((B, p)),
+        max_steps=60, chunk_steps=10, gtol=1e-9,
+    )
+    assert bool(np.asarray(info1["converged"]).all())
+    assert bool(np.asarray(info2["converged"]).all())
+    np.testing.assert_allclose(np.asarray(P1), np.asarray(P2), atol=1e-6)
