@@ -124,3 +124,148 @@ def test_mosaic_nd_eigh():
             :, m, None, :
         ] * vecs_p[:, m]
         assert float(jnp.max(jnp.abs(resid))) < 1e-8
+
+
+def test_fused_grad_vs_finite_difference():
+    """Filter-likelihood gradient through the fused kernel (implicit-
+    function JVP) vs f64 central finite differences — the VERIFY-drive
+    assertion promoted to the pytest tier (VERDICT r03 item 7)."""
+    from mfs_tpu.models import benes_bernoulli
+    from mfs_tpu.one_dim.filtering import moment_filter_cms
+    from mfs_tpu.sde import sde_cond_moments_euler
+
+    N, B, T = 8, 64, 30
+    model = benes_bernoulli(N=N)
+    xs = model.simulate(jax.random.PRNGKey(0), B)[:, :T]
+    ys = jax.random.bernoulli(
+        jax.random.PRNGKey(1), model.emission(xs)
+    ).astype(xs.dtype).T
+    ic = model.init_cond
+
+    def nell_of(theta):
+        trans = sde_cond_moments_euler(
+            lambda u: jnp.tanh(theta * u), model.dispersion, model.dt, N
+        )
+        _, _, nell = moment_filter_cms(
+            trans.cms, trans.mean, model.measurement_cond_pdf,
+            jnp.broadcast_to(ic.cms, (B, 2 * N)), ic.mean * jnp.ones(B),
+            ys, eigh_impl="pallas",
+        )
+        return jnp.sum(nell)
+
+    g = float(jax.jit(jax.grad(nell_of))(jnp.asarray(1.0)))
+    eps = 1e-5
+    f = jax.jit(nell_of)
+    fd = (float(f(jnp.asarray(1.0 + eps))) - float(f(jnp.asarray(1.0 - eps)))) / (
+        2 * eps
+    )
+    assert abs(g - fd) / (abs(fd) + 1e-12) < 1e-4, (g, fd)
+
+
+def test_nd_pallas_vs_refined_nell():
+    """2D prey-predator nell agreement between the compiled ND pallas
+    path and the refined XLA path on hardware (small shapes)."""
+    from mfs_tpu.models import prey_predator
+    from mfs_tpu.multi_dims import (
+        generate_graded_lexico_multi_indices,
+        gram_and_hankel_indices_graded_lexico,
+        moment_filter_nd_cms,
+        poly_tme_nd,
+    )
+
+    N, B, T = 3, 64, 30
+    mis = generate_graded_lexico_multi_indices(2, 2 * N - 1)
+    inds = gram_and_hankel_indices_graded_lexico(N, 2)
+    model = prey_predator(mis)
+    poly = poly_tme_nd(
+        model.drift, model.dispersion, model.dt, 2, mis,
+        drift_deg=2, dispersion_deg=1,
+    )
+    ic = model.init_cond
+    _, _, yss = model.simulate(jax.random.PRNGKey(2), B)
+    ys = yss[:T]
+    cms0 = jnp.broadcast_to(ic.cms, (B,) + ic.cms.shape)
+    mean0 = jnp.broadcast_to(ic.mean, (B, 2))
+
+    nells = {}
+    for impl in ("pallas", "refined"):
+        _, _, nell = jax.jit(
+            lambda c0, m0, y, impl=impl: moment_filter_nd_cms(
+                poly.cms, poly.mean, model.measurement_cond_pdf, y,
+                (mis, inds), c0, m0, eigh_impl=impl,
+                predict_fn=poly.predict_cms,
+            )
+        )(cms0, mean0, ys)
+        nells[impl] = np.asarray(nell)
+    finite = np.isfinite(nells["pallas"]) & np.isfinite(nells["refined"])
+    assert finite.mean() > 0.9
+    rel = np.max(
+        np.abs(nells["pallas"][finite] - nells["refined"][finite])
+        / (np.abs(nells["refined"][finite]) + 1e-12)
+    )
+    assert rel < 1e-6, f"nell disagreement {rel:.2e}"
+
+
+def test_rescue_round_trip():
+    """Two-tier rescue on hardware: diverged fused-kernel trials are
+    recovered by the robust path and spliced back (small N=13 batch —
+    large enough that some trials genuinely diverge sometimes, but the
+    assertion holds either way)."""
+    import contextlib
+
+    from mfs_tpu.models import benes_bernoulli
+    from mfs_tpu.one_dim.filtering import moment_filter_cms
+    from mfs_tpu.parallel.ensemble import rescue_diverged
+    from mfs_tpu.sde import sde_cond_moments_tme_normal
+
+    N, B, T = 13, 128, 60
+    model = benes_bernoulli(N=N)
+    trans = sde_cond_moments_tme_normal(
+        model.drift, model.dispersion, model.dt, 2, N
+    )
+    xs = model.simulate(jax.random.PRNGKey(3), B)[:, :T]
+    ys = jax.random.bernoulli(
+        jax.random.PRNGKey(4), model.emission(xs)
+    ).astype(xs.dtype).T
+    ic = model.init_cond
+
+    def make_run(impl, device=None):
+        def run(ys_in):
+            ctx = (
+                jax.default_device(device)
+                if device is not None
+                else contextlib.nullcontext()
+            )
+            if device is not None:
+                ys_in = jax.device_put(jnp.asarray(ys_in), device)
+            with ctx:
+                n = ys_in.shape[1]
+                mss, means, nell = jax.jit(
+                    lambda y, impl=impl: moment_filter_cms(
+                        trans.cms, trans.mean, model.measurement_cond_pdf,
+                        jnp.broadcast_to(ic.cms, (n, 2 * N)),
+                        ic.mean * jnp.ones(n), y,
+                        stable=(impl != "pallas"), eigh_impl=impl,
+                    )
+                )(ys_in)
+                return dict(moments=mss, means=means, nell=nell)
+
+        return run
+
+    def finite_fn(out):
+        m = out["moments"]
+        return np.asarray(
+            jnp.isfinite(m.reshape(m.shape[0], m.shape[1], -1)).all(axis=(0, 2))
+        )
+
+    fast = make_run("pallas")
+    robust = make_run("xla", device=jax.devices("cpu")[0])
+    merged, finite, rescued = rescue_diverged(
+        fast, robust, ys, finite_fn,
+        {"moments": 1, "means": 1, "nell": 0},
+    )
+    raw_finite = finite_fn(fast(ys))
+    # rescue never loses trials, and whatever it rescued is now finite
+    assert finite.sum() >= raw_finite.sum()
+    assert rescued == int(finite.sum() - raw_finite.sum())
+    assert np.isfinite(merged["nell"][finite]).all()
