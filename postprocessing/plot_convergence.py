@@ -23,6 +23,10 @@ def main():
     p.add_argument("--Ns", type=int, nargs="+", default=[2, 3, 4, 6, 8, 10])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mode", choices=["raw", "central"], default="central")
+    p.add_argument("--pf-particles", type=int, nargs="*",
+                   default=[100, 1000, 10000],
+                   help="overlay PF-foil errors at these particle counts "
+                        "(skipped when the artifact is absent)")
     args = p.parse_args()
 
     rows = []
@@ -43,16 +47,46 @@ def main():
         ))
         print(rows[-1])
 
+    # PF convergence foil (reference convergence_pf.py): the same
+    # metrics per particle count, drawn as horizontal reference levels
+    # so the moment filter's N-sweep can be read against them.
+    pf_rows = []
+    for npart in args.pf_particles:
+        try:
+            data = common.load("convergence", f"pf_{npart}_s{args.seed}")
+        except FileNotFoundError:
+            continue
+        m, v = np.asarray(data["means"]), np.asarray(data["variances"])
+        fin = np.asarray(data["finite"])
+        km = np.asarray(common.load(
+            "convergence", f"mf_N{args.Ns[0]}_{args.mode}_s{args.seed}"
+        )["kf_m"])[:, fin]
+        kv = np.asarray(common.load(
+            "convergence", f"mf_N{args.Ns[0]}_{args.mode}_s{args.seed}"
+        )["kf_v"])[:, fin]
+        m, v = m[:, fin], v[:, fin]
+        kl = 0.5 * (np.log(kv / v) + (v + (m - km) ** 2) / kv - 1.0)
+        pf_rows.append(dict(
+            nparticles=npart,
+            abs_mean_err=float(np.mean(np.abs(m - km))),
+            gauss_kl=float(np.mean(kl)),
+        ))
+        print(pf_rows[-1])
+
     Ns = [r["N"] for r in rows]
-    fig, ax = plt.subplots(figsize=(5.5, 4))
+    fig, ax = plt.subplots(figsize=(6.0, 4.2))
     ax.semilogy(Ns, [r["abs_mean_err"] for r in rows], "o-", label="|mean error|")
     ax.semilogy(Ns, [r["abs_var_err"] for r in rows], "s-", label="|variance error|")
     ax.semilogy(Ns, [r["gauss_kl"] for r in rows], "^-", label="Gaussian KL")
+    for i, r in enumerate(pf_rows):
+        ax.axhline(r["abs_mean_err"], color="C3", ls=(0, (2, 2 + 2 * i)),
+                   lw=1.1,
+                   label=f"PF |mean err|, {r['nparticles']:,} particles")
     ax.set_xlabel("moment order N")
     ax.set_ylabel("error vs exact Kalman filter")
     ax.set_title("Moment-filter convergence (OU model)")
     ax.grid(True, which="both", alpha=0.3)
-    ax.legend()
+    ax.legend(fontsize=8)
     common.savefig(fig, "convergence")
 
 
