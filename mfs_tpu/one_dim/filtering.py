@@ -19,12 +19,14 @@ TPU-first deltas from the reference:
   ``mfs_tpu.sde.transitions``): no vmap pyramids in the hot loop.
 - ``measurement_cond_pdf(y, x)`` must broadcast elementwise over ``x``
   (all jnp-composed densities do).
-- The per-step eigendecompositions default to ``eigh_impl="refined"``:
-  XLA's fast batched eigh (only ~f32-accurate internally on TPU,
-  measured residual ~1e-7 in f64 on v5e) followed by true-f64
-  cyclic-Jacobi polish sweeps built from elementwise ops and matmuls
-  (which TPU emulates at ~1e-15).  ``"jacobi"`` is the pure in-repo
-  solver, ``"xla"`` the raw XLA one.
+- The per-step eigendecompositions default to ``eigh_impl="auto"``:
+  the measured dispatch policy (``mfs_tpu.ops.dispatch``) — the fused
+  double-f32 Pallas kernel on TPU at production batch sizes, otherwise
+  ``"refined"``: XLA's fast batched eigh (only ~f32-accurate
+  internally on TPU, measured residual ~1e-7 in f64 on v5e) followed
+  by true-f64 cyclic-Jacobi polish sweeps built from elementwise ops
+  and matmuls (which TPU emulates at ~1e-15).  ``"jacobi"`` is the
+  pure in-repo solver, ``"xla"`` the raw XLA one.
 
 Everything is differentiable; the returned ``nell`` is the negative log
 likelihood used for gradient-based parameter estimation.
@@ -61,7 +63,7 @@ def moment_filter_rms(
     rms0: Array,
     ys: Array,
     stable: bool = False,
-    eigh_impl: str = "refined",
+    eigh_impl: str = "auto",
 ) -> Tuple[Array, Array]:
     r"""Moment filter with raw-moment representation.
 
@@ -118,7 +120,7 @@ def moment_filter_cms(
     mean0: FloatScalar,
     ys: Array,
     stable: bool = False,
-    eigh_impl: str = "refined",
+    eigh_impl: str = "auto",
 ) -> Tuple[Array, Array, Array]:
     r"""Moment filter with central-moment representation.
 
@@ -170,7 +172,7 @@ def moment_filter_scms(
     scale0: FloatScalar,
     ys: Array,
     stable: bool = False,
-    eigh_impl: str = "refined",
+    eigh_impl: str = "auto",
 ) -> Tuple[Array, Array, Array, Array]:
     r"""Moment filter with scaled-central-moment representation.
 

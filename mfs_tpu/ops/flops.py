@@ -51,6 +51,7 @@ _ZERO_COST = {
     "stop_gradient", "is_finite", "reduce_and", "reduce_or",
     "reduce_max", "reduce_min", "argmax", "argmin", "sort",
     "shift_left", "shift_right_logical", "shift_right_arithmetic",
+    "tile", "repeat", "roll",
     "rem", "device_put", "sharding_constraint", "split", "real",
     "imag", "complex", "expand_dims", "masked_swap", "masked_load",
     "masked_store", "get", "swap",

@@ -147,12 +147,12 @@ if __name__ == "__main__":
 
     out = {"device": str(jax.devices()[0])}
     if not args.skip_1d:
-        Ns = [8, 15] if args.quick else [4, 8, 11, 15]
-        Bs = [8, 32, 128, 512] if args.quick else [4, 8, 16, 32, 64, 128, 512, 2048]
+        Ns = [8, 15] if args.quick else [4, 8, 15]
+        Bs = [8, 32, 128, 512] if args.quick else [4, 16, 64, 512]
         out["one_d"] = sweep_1d(Ns, Bs)
     if not args.skip_nd:
-        Ns = [3, 5] if args.quick else [3, 4, 5, 6, 7, 8, 9]
-        Bs = [32, 128, 512] if args.quick else [16, 32, 64, 128, 256, 512, 1024]
+        Ns = [3, 5] if args.quick else [3, 5, 7, 9]
+        Bs = [32, 128, 512] if args.quick else [32, 64, 128, 256, 512]
         out["nd"] = sweep_nd(Ns, Bs)
     path = os.path.join(os.path.dirname(__file__), "DISPATCH_MEASURE.json")
     with open(path, "w") as f:
