@@ -48,7 +48,7 @@ def simulate_trials(args):
 
 def fit(method, args, dt, ic, drift, disp, emission, meas_pmf, yss):
     """One batched MLE leg; returns (p_hat (B, 2), info, wall_s)."""
-    from mfs_tpu.estimation import fit_mle_batched
+    from mfs_tpu.estimation import lbfgs_batched
 
     B = args.trials
     softplus = lambda v: jnp.logaddexp(0.0, v)
@@ -116,15 +116,18 @@ def fit(method, args, dt, ic, drift, disp, emission, meas_pmf, yss):
         raise ValueError(method)
 
     P0 = jnp.full((B, 2), 0.5)
-    t0 = time.perf_counter()
-    p_raw, info = fit_mle_batched(
-        per_trial_nell, P0, data,
+    # One optimiser for every estimator family (comparability): the
+    # per-trial batched L-BFGS drives a vmapped per-trial objective —
+    # its Armijo line search compiles ~10x faster than the vmapped
+    # optax zoom search and converges equivalently on these 2-param
+    # problems (tests/test_estimation.py cross-checks the two).
+    batched_nell = lambda P: jax.vmap(per_trial_nell)(P, data)
+    p_raw, info = lbfgs_batched(
+        batched_nell, P0,
         max_steps=args.opt_steps, chunk_steps=args.chunk_steps,
         gtol=args.gtol,
     )
-    jax.block_until_ready(p_raw)
-    wall = time.perf_counter() - t0
-    return softplus(p_raw), info, wall
+    return softplus(p_raw), info, info["wall_s"]
 
 
 def main():

@@ -120,7 +120,7 @@ def main():
     p.add_argument("--mode", choices=["central", "scaled"], default="central")
     p.add_argument("--tme-order", type=int, default=2)
     p.add_argument("--eigh-impls", nargs="+", default=["refined"],
-                   choices=["refined", "xla", "jacobi", "pallas"])
+                   choices=["refined", "xla", "jacobi", "pallas", "auto"])
     p.add_argument("--transition", default="autodiff",
                    choices=["autodiff", "poly"],
                    help="poly = closed-form matmul TME with the fused "

@@ -98,7 +98,7 @@ def moment_quadrature_nd(
         from mfs_tpu.ops.dispatch import resolve_impl_nd
 
         batch = int(np.prod(ms.shape[:-1])) if ms.ndim > 1 else 1
-        eigh_impl = resolve_impl_nd(s, batch)
+        eigh_impl = resolve_impl_nd(s, batch, d=d)
     if eigh_impl == "pallas":
         from mfs_tpu.ops.pallas_quadrature_nd import (
             MAX_S,

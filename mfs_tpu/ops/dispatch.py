@@ -25,15 +25,21 @@ import jax
 
 # Measured minimum flat batch at which the fused 1D Pallas kernel beats
 # the refined XLA path for a full filter pass (tools/measure_dispatch.py
-# on TPU v5e, 2026-08; see BASELINE.md "dispatch policy").
-# The kernel pads to a 512-lane block, yet wins far below full blocks
-# because the XLA-f64 path's emulation overhead is ~45x.
-_MIN_BATCH_PALLAS_1D = 16
+# on TPU v5e, 2026-08; table in tools/DISPATCH_MEASURE.json, summary in
+# BASELINE.md).  The kernel pads to a 512-lane block yet wins at EVERY
+# measured batch down to B=4 (1.9x at N=4/B=4 up to 43x at N=15/B=512)
+# because the XLA-f64 emulation overhead exceeds the padding waste.
+_MIN_BATCH_PALLAS_1D = 1
 
-# ND: the fused/hybrid kernel's advantage grows with s; the refined
-# path wins at small batches.  Keyed by basis size s (C(N+1, 2) for
-# d=2); linear interpolation between measured sizes.
-_MIN_BATCH_PALLAS_ND = 128
+# ND: the fused kernel (s <= 10) and the hybrid K-builder + refined
+# eigh (s > 10) beat the all-XLA refined path at every measured cell —
+# N in {3,5,7} x B in {32..512}: 1.4x to 2.6x (tools/DISPATCH_MEASURE
+# .json).  The only gate is VMEM feasibility of the K-builder's
+# minimum 128-lane block (d=2: s <= ~49), checked in resolve_impl_nd.
+_MIN_BATCH_PALLAS_ND = 1
+# mirror of the K-builder's VMEM bound (pallas_quadrature_nd):
+# (4 + d) * s^2 * 8 bytes/lane, 128-lane minimum block, 14 MB ceiling.
+_ND_VMEM_HARD = 14e6
 
 
 def _default_platform() -> str:
@@ -58,10 +64,14 @@ def resolve_impl_1d(n: int, batch: int, requested: str = "auto") -> str:
     return "pallas" if batch >= _MIN_BATCH_PALLAS_1D else "refined"
 
 
-def resolve_impl_nd(s: int, batch: int, requested: str = "auto") -> str:
+def resolve_impl_nd(
+    s: int, batch: int, requested: str = "auto", d: int = 2
+) -> str:
     """Resolve ``eigh_impl`` for the ND quadrature (``s`` = basis size)."""
     if requested != "auto":
         return requested
     if _default_platform() != "tpu":
         return "refined"
+    if (4 + d) * s * s * 8 * 128 > _ND_VMEM_HARD:
+        return "refined"  # K-builder's minimum block cannot fit VMEM
     return "pallas" if batch >= _MIN_BATCH_PALLAS_ND else "refined"

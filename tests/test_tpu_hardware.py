@@ -269,3 +269,13 @@ def test_rescue_round_trip():
     assert finite.sum() >= raw_finite.sum()
     assert rescued == int(finite.sum() - raw_finite.sum())
     assert np.isfinite(merged["nell"][finite]).all()
+
+
+def test_auto_dispatch_on_tpu():
+    """On the TPU platform the measured policy routes production
+    batches to the fused kernel and passes explicit choices through."""
+    from mfs_tpu.ops.dispatch import resolve_impl_1d, resolve_impl_nd
+
+    assert resolve_impl_1d(15, 4096) == "pallas"
+    assert resolve_impl_nd(6, 512) == "pallas"
+    assert resolve_impl_1d(15, 4096, "xla") == "xla"

@@ -143,6 +143,10 @@ if __name__ == "__main__":
     p.add_argument("--quick", action="store_true")
     p.add_argument("--skip-1d", action="store_true")
     p.add_argument("--skip-nd", action="store_true")
+    p.add_argument("--nd-ns", type=int, nargs="+", default=None)
+    p.add_argument("--nd-bs", type=int, nargs="+", default=None)
+    p.add_argument("--merge", action="store_true",
+                   help="merge rows into an existing DISPATCH_MEASURE.json")
     args = p.parse_args()
 
     out = {"device": str(jax.devices()[0])}
@@ -151,10 +155,24 @@ if __name__ == "__main__":
         Bs = [8, 32, 128, 512] if args.quick else [4, 16, 64, 512]
         out["one_d"] = sweep_1d(Ns, Bs)
     if not args.skip_nd:
-        Ns = [3, 5] if args.quick else [3, 5, 7, 9]
-        Bs = [32, 128, 512] if args.quick else [32, 64, 128, 256, 512]
+        Ns = args.nd_ns or ([3, 5] if args.quick else [3, 5, 7, 9])
+        Bs = args.nd_bs or ([32, 128, 512] if args.quick else [32, 64, 128, 256, 512])
         out["nd"] = sweep_nd(Ns, Bs)
     path = os.path.join(os.path.dirname(__file__), "DISPATCH_MEASURE.json")
+    if args.merge and os.path.exists(path):
+        with open(path) as f:
+            old = json.load(f)
+        for key in ("one_d", "nd"):
+            if key in out and key in old:
+                mine = {
+                    (r.get("kind"), r.get("N"), r.get("B")) for r in out[key]
+                }
+                out[key] = [
+                    r for r in old[key]
+                    if (r.get("kind"), r.get("N"), r.get("B")) not in mine
+                ] + out[key]
+            elif key in old and key not in out:
+                out[key] = old[key]
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print("saved", path)
