@@ -37,9 +37,16 @@ _MIN_BATCH_PALLAS_1D = 1
 # .json).  The only gate is VMEM feasibility of the K-builder's
 # minimum 128-lane block (d=2: s <= ~49), checked in resolve_impl_nd.
 _MIN_BATCH_PALLAS_ND = 1
-# mirror of the K-builder's VMEM bound (pallas_quadrature_nd):
-# (4 + d) * s^2 * 8 bytes/lane, 128-lane minimum block, 14 MB ceiling.
-_ND_VMEM_HARD = 14e6
+# mirror of the K-builder's VMEM budget (pallas_quadrature_nd):
+# (4 + d) * s^2 * 8 bytes/lane must fit a 128-lane block in the 10 MB
+# budget.
+_ND_VMEM_BUDGET = 10e6
+# Measured Mosaic-compile feasibility (tools/DISPATCH_MEASURE.json):
+# the K-builder's per-entry unrolled program compiles and wins at
+# s = 28 (d=2 N=7) but the remote compile crashes at s = 36 and 45
+# even though both fit the VMEM budget — the statement count, not
+# memory, is the boundary.  Gate at the largest measured-good size.
+_ND_MAX_S_PALLAS = 28
 
 
 def _default_platform() -> str:
@@ -72,6 +79,8 @@ def resolve_impl_nd(
         return requested
     if _default_platform() != "tpu":
         return "refined"
-    if (4 + d) * s * s * 8 * 128 > _ND_VMEM_HARD:
+    if s > _ND_MAX_S_PALLAS:
+        return "refined"  # K-builder compile infeasible (measured)
+    if (4 + d) * s * s * 8 * 128 > _ND_VMEM_BUDGET:
         return "refined"  # K-builder's minimum block cannot fit VMEM
     return "pallas" if batch >= _MIN_BATCH_PALLAS_ND else "refined"

@@ -451,19 +451,16 @@ def nd_k_pallas(
     per_lane_bytes = (4 + d) * s * s * 8
     fit = int(10e6 / per_lane_bytes) // 128 * 128
     if fit < 128:
-        # The soft 10 MB budget is exceeded even by one 128-lane
-        # block; allow it anyway while it stays clear of the 16 MB
-        # VMEM hard limit (d=2: s up to ~49), else fail loudly — the
-        # old silent floor reproduced Mosaic's own rejection at
-        # s >~ 55 (advisor r03 finding 1).
-        if per_lane_bytes * 128 <= 14e6:
-            fit = 128
-        else:
-            raise ValueError(
-                f"builder_nd_k_pallas: d={d}, s={s} needs "
-                f"{per_lane_bytes} B/lane; even the minimum 128-lane "
-                "block exceeds VMEM — use the XLA K-builder instead."
-            )
+        # Even one 128-lane block exceeds the 10 MB budget.  Measured
+        # (d=2, s=45, 12.4 MB): the remote Mosaic compile crashes, so
+        # the old silent floor-to-128 reproduced the rejection the cap
+        # exists to prevent (advisor r03 finding 1) — fail loudly; the
+        # "auto" dispatch routes such sizes to the XLA path instead.
+        raise ValueError(
+            f"builder_nd_k_pallas: d={d}, s={s} needs "
+            f"{per_lane_bytes} B/lane; even the minimum 128-lane "
+            "block exceeds VMEM — use the XLA K-builder instead."
+        )
     # Only ever *shrink* a caller-specified block (never grow past it).
     block_b = min(block_b, fit)
     ms = jnp.asarray(ms)

@@ -122,3 +122,21 @@ def test_particle_filter_out_fn_reduction():
     np.testing.assert_allclose(
         np.asarray(red[1]), np.asarray(jnp.var(full, axis=-1)), rtol=1e-10
     )
+
+
+def test_nd_k_builder_vmem_gate():
+    """s=45 (d=2) exceeds the K-builder's VMEM budget: loud error (the
+    remote Mosaic compile crashes at that size), and the auto policy
+    routes such sizes to the XLA path."""
+    import pytest
+
+    from mfs_tpu.multi_dims.multi_indices import (
+        gram_and_hankel_indices_graded_lexico,
+    )
+    from mfs_tpu.ops.pallas_quadrature_nd import nd_k_pallas
+
+    inds = gram_and_hankel_indices_graded_lexico(9, 2)  # s = 45
+    assert inds.shape[1] == 45
+    ms = jnp.ones((4, 171))
+    with pytest.raises(ValueError, match="VMEM"):
+        nd_k_pallas(ms, inds)
