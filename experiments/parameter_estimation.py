@@ -127,19 +127,20 @@ def main():
         with jax.default_device(cpu):
             ys_cpu = jax.device_put(np.asarray(ys[:, :K]), cpu)
 
-            def nell_one_host(q, i):
+            def nell_one_host(q, ys_col):
                 out = nell_all(
-                    jnp.broadcast_to(q, (1, 2)), ys_cpu[:, i:i + 1], n_t=1,
+                    jnp.broadcast_to(q, (1, 2)), ys_col[:, None], n_t=1,
                     impl="xla",
                 )
                 return out[0]
 
-            vg = jax.jit(jax.value_and_grad(nell_one_host), static_argnums=1)
+            # one compile for all K trials (the column is an argument)
+            vg = jax.jit(jax.value_and_grad(nell_one_host))
             for i in range(K):
                 r = sopt.minimize(
                     lambda x, i=i: [
                         np.asarray(v, np.float64)
-                        for v in vg(jnp.asarray(x), i)
+                        for v in vg(jnp.asarray(x), ys_cpu[:, i])
                     ],
                     np.full(2, 0.5), jac=True, method="L-BFGS-B",
                 )
