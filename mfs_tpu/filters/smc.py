@@ -52,6 +52,7 @@ def bootstrap_filter(
     conti_resampling: bool = False,
     vector_state: bool = False,
     remat_chunk: int = 0,
+    out_fn: Callable[[Array], Any] = None,
 ) -> Tuple[Array, FloatScalar]:
     """Bootstrap particle filter over an ensemble of trials.
 
@@ -82,9 +83,16 @@ def bootstrap_filter(
         particles x trials would otherwise need tens of GB).  Forward
         results are unchanged.
 
+    out_fn : callable, optional
+        Per-step reduction of the resampled particles (e.g. mean/var
+        over the particle axis); the stacked reductions replace the
+        raw trajectories in the first return value, keeping memory at
+        O(carry) for large particle counts.
+
     Returns
     -------
-    samples : Array (T, ..., n[, dx]), nell : Array (...)
+    samples : Array (T, ..., n[, dx]) (or stacked ``out_fn`` outputs),
+    nell : Array (...)
         Per-trial negative log-likelihoods.
 
     Reference: ``mfs/classical_filters_smoothers/smc.py:26-84``
@@ -107,8 +115,9 @@ def bootstrap_filter(
             samples = _gather_particles(
                 samples, resampling(weights, k_res), vector_state
             )
-        return (samples, nell), samples
+        return (samples, nell), reduce(samples)
 
+    reduce = out_fn if out_fn is not None else (lambda s: s)
     init = init_sampler(key_init, nsamples)
     batch_shape = init.shape[: init.ndim - (2 if vector_state else 1)]
     nell0 = jnp.zeros(batch_shape, init.dtype)
@@ -130,7 +139,9 @@ def bootstrap_filter(
         (_, nell), samples = jax.lax.scan(
             segment, (init, nell0), (ys_seg, keys_seg)
         )
-        samples = samples.reshape((T,) + samples.shape[2:])
+        samples = jax.tree_util.tree_map(
+            lambda a: a.reshape((T,) + a.shape[2:]), samples
+        )
     else:
         (_, nell), samples = jax.lax.scan(step, (init, nell0), (ys, keys))
     return samples, nell
