@@ -58,7 +58,7 @@ def simulate(trials, seed):
 
 def main():
     p = common.base_parser(__doc__)
-    p.add_argument("--Ns", type=int, nargs="+", default=[2, 3, 4, 6, 8, 10])
+    p.add_argument("--Ns", type=int, nargs="*", default=[2, 3, 4, 6, 8, 10])
     # The reference sweeps both modes N=2..15
     # (``dardel/run_convergence_mf.sh:26-30``); the raw representation
     # loses the high-order information of a near-Gaussian posterior and
@@ -216,6 +216,7 @@ def main():
             common.save_results(
                 "convergence", f"pf_{npart}_s{args.seed}",
                 means=pf_m, variances=pf_v, finite=finite,
+                kf_m=kf_m, kf_v=kf_v,
             )
             row = dict(
                 experiment="convergence", method="pf", nparticles=npart,

@@ -58,12 +58,14 @@ def main():
             continue
         m, v = np.asarray(data["means"]), np.asarray(data["variances"])
         fin = np.asarray(data["finite"])
-        km = np.asarray(common.load(
-            "convergence", f"mf_N{args.Ns[0]}_{args.mode}_s{args.seed}"
-        )["kf_m"])[:, fin]
-        kv = np.asarray(common.load(
-            "convergence", f"mf_N{args.Ns[0]}_{args.mode}_s{args.seed}"
-        )["kf_v"])[:, fin]
+        if "kf_m" in data:
+            km, kv = np.asarray(data["kf_m"]), np.asarray(data["kf_v"])
+        else:  # older artifacts: same trial set as the MF sweep
+            mf = common.load(
+                "convergence", f"mf_N{args.Ns[0]}_{args.mode}_s{args.seed}"
+            )
+            km, kv = np.asarray(mf["kf_m"]), np.asarray(mf["kf_v"])
+        km, kv = km[:, fin], kv[:, fin]
         m, v = m[:, fin], v[:, fin]
         kl = 0.5 * (np.log(kv / v) + (v + (m - km) ** 2) / kv - 1.0)
         pf_rows.append(dict(
