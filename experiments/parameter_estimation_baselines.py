@@ -46,11 +46,14 @@ def simulate_trials(args):
     return dt, ic, drift, disp, emission, meas_pmf, yss
 
 
-def fit(method, args, dt, ic, drift, disp, emission, meas_pmf, yss):
+def fit(method, args, dt, ic, drift, disp, emission, meas_pmf, yss,
+        trial_ids=None):
     """One batched MLE leg; returns (p_hat (B, 2), info, wall_s)."""
     from mfs_tpu.estimation import lbfgs_batched
 
-    B = args.trials
+    if trial_ids is None:
+        trial_ids = jnp.arange(yss.shape[0])
+    B = yss.shape[0]
     softplus = lambda v: jnp.logaddexp(0.0, v)
 
     if method in ("ghf", "ekf"):
@@ -92,7 +95,7 @@ def fit(method, args, dt, ic, drift, disp, emission, meas_pmf, yss):
 
         n = args.nparticles
         key_pf = jax.random.PRNGKey(args.seed + 99)
-        keys_pf = jax.random.split(key_pf, B)
+        keys_pf = jax.vmap(lambda i: jax.random.fold_in(key_pf, i))(trial_ids)
 
         def per_trial_nell(q, datum):
             ys_i, k_i = datum
@@ -143,6 +146,10 @@ def main():
     p.add_argument("--remat-chunk", type=int, default=50)
     p.add_argument("--opt-steps", type=int, default=100)
     p.add_argument("--chunk-steps", type=int, default=5)
+    p.add_argument("--trial-chunk", type=int, default=0,
+                   help="fit the trial ensemble in slices of this many "
+                        "trials (0 = all at once); per-trial L-BFGS "
+                        "makes the slicing exact")
     p.add_argument("--gtol", type=float, default=1e-5)
     args = p.parse_args()
     common.setup(args)
@@ -151,9 +158,26 @@ def main():
 
     rows = []
     for method in args.methods:
-        p_hat, info, wall = fit(
-            method, args, dt, ic, drift, disp, emission, meas_pmf, yss
-        )
+        # Per-trial L-BFGS is trial-independent, so slicing the trial
+        # batch into chunks gives the identical ensemble with smaller
+        # device working sets (the GHF leg at 1000 trials crashes this
+        # tunnel's TPU worker; 500-trial chunks do not).
+        tc = args.trial_chunk or args.trials
+        p_parts, info_parts, wall = [], [], 0.0
+        for lo in range(0, args.trials, tc):
+            ids = jnp.arange(lo, min(lo + tc, args.trials))
+            p_c, info_c, wall_c = fit(
+                method, args, dt, ic, drift, disp, emission, meas_pmf,
+                yss[lo:lo + tc], trial_ids=ids,
+            )
+            p_parts.append(p_c)
+            info_parts.append(info_c)
+            wall += wall_c
+        p_hat = jnp.concatenate(p_parts, axis=0)
+        info = {
+            k: np.concatenate([np.asarray(i[k]) for i in info_parts])
+            for k in ("converged", "steps", "nell")
+        }
         finite = jnp.isfinite(p_hat).all(axis=-1) & jnp.asarray(
             np.asarray(info["converged"])
         )
