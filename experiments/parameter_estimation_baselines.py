@@ -173,6 +173,10 @@ def main():
             p_parts.append(p_c)
             info_parts.append(info_c)
             wall += wall_c
+            print(f"[{method}] chunk {lo}-{lo + len(ids)}: "
+                  f"{wall_c:.1f}s, converged "
+                  f"{int(np.asarray(info_c['converged']).sum())}/{len(ids)}",
+                  flush=True)
         p_hat = jnp.concatenate(p_parts, axis=0)
         info = {
             k: np.concatenate([np.asarray(i[k]) for i in info_parts])
@@ -213,7 +217,12 @@ def main():
     if os.path.exists(path):
         with open(path) as f:
             summary = json.load(f)
-    summary["baselines"] = rows
+    # Update per method (a partial --methods invocation must not clobber
+    # rows from earlier runs of the other estimators).
+    merged = {r["method"]: r for r in summary.get("baselines", [])}
+    merged.update({r["method"]: r for r in rows})
+    summary["baselines"] = [merged[m] for m in ("ghf", "ekf", "pf")
+                            if m in merged]
     summary["baselines_protocol"] = (
         "GHF (GH order {gh}) / EKF / bootstrap PF ({np} particles, "
         "continuous resampling) MLE on trials identical to the MF leg; "
