@@ -7,19 +7,28 @@ I/O, central-moment representation.  The metric is Monte-Carlo *trials
 per second* for the full filtering pass (compile excluded,
 ``block_until_ready`` timed).
 
-The HEADLINE is the *rescued* production pipeline (VERDICT r03 item 1):
+The HEADLINE is the *rescued* production pipeline (VERDICT r03 item 1,
+redesigned in round 5 — VERDICT r04 item 1):
 
     tier 0  fused double-f32 Pallas kernel, whole batch      (~1.0 s)
-    tier 1  fused kernel in scaled-central mode, re-running
-            only the diverged trials (different conditioning,
-            rescues ~46% of them)                            (~0.16 s)
+    tier 1  the same kernel with Gram jitter 1e-8 (relative
+            Tikhonov regularisation of the equilibrated
+            Hankel factorisation), re-running only the
+            diverged trials                                  (~0.16 s)
     tier 2  native-f64 LAPACK + LDL completion on the host
-            CPU for the remainder                            (~1-4 s)
+            CPU for any residue (measured EMPTY: the
+            jittered kernel rescued 265/265 of the tier-0
+            losses where the host f64 pass manages 249/265,
+            tools/PROBE_RESCUE3.json)
 
 timed end-to-end including the splice, so ``vs_baseline`` reflects a
-pipeline that keeps ~99.7% of trials — strictly more than the
+pipeline that keeps 100% of trials — strictly more than the
 reference's own f64 filters keep on identical data (PARITY.md).  The
-raw kernel-only number is reported alongside.
+raw kernel-only number is reported alongside.  Accuracy of the
+jitter-rescued trials vs the host-f64 rescue (the trials both keep):
+filter-mean deviation <= 3.5e-3, nell deviation <= 1.5e-2 absolute
+(~2e-4 relative) — on exactly the trials whose unregularised moment
+problem is numerically singular in f64 too.
 
 Roofline (VERDICT r03 item 3): FLOPs are counted by jaxpr traversal
 (``mfs_tpu.ops.flops``) including the Pallas kernel body; two VPU
@@ -52,10 +61,7 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from mfs_tpu.models import benes_bernoulli  # noqa: E402
-from mfs_tpu.one_dim.filtering import (  # noqa: E402
-    moment_filter_cms,
-    moment_filter_scms,
-)
+from mfs_tpu.one_dim.filtering import moment_filter_cms  # noqa: E402
 from mfs_tpu.sde import sde_cond_moments_tme_normal  # noqa: E402
 
 N = 15
@@ -130,10 +136,10 @@ def main():
             c0, m0, y, eigh_impl="pallas",
         )
     )
-    filt_scms = jax.jit(
-        lambda s0, m0, sc0, y: moment_filter_scms(
-            trans.scms, trans.mean_var, model.measurement_cond_pdf,
-            s0, m0, sc0, y, eigh_impl="pallas",
+    filt_jitter = jax.jit(
+        lambda c0, m0, y: moment_filter_cms(
+            trans.cms, trans.mean, model.measurement_cond_pdf,
+            c0, m0, y, eigh_impl="pallas", quad_jitter=1e-8,
         )
     )
     cpu = jax.devices("cpu")[0]
@@ -166,9 +172,8 @@ def main():
     # the whole pipeline end-to-end (the reference protocol excludes
     # compile; everything else — masks, host round-trips, conversions,
     # splices — is inside the timer).
-    scms0_b = jnp.broadcast_to(ic.scms, (TIER1_BUCKET, 2 * N))
+    cms0_b = jnp.broadcast_to(ic.cms, (TIER1_BUCKET, 2 * N))
     mean0_b = ic.mean * jnp.ones(TIER1_BUCKET)
-    scale0_b = jnp.sqrt(ic.variance) * jnp.ones(TIER1_BUCKET)
     cms0_cpu = jax.device_put(cms0_host[:TIER2_CHUNK], cpu)
     mean0_cpu = jax.device_put(mean0_host[:TIER2_CHUNK], cpu)
 
@@ -183,7 +188,7 @@ def main():
 
         idx = np.where(~finite)[0]
         if idx.size:
-            # tier 1: scaled-central fused kernel on the diverged set
+            # tier 1: Gram-jittered fused kernel on the diverged set
             nb = -(-idx.size // TIER1_BUCKET)
             pad = np.concatenate(
                 [idx, np.zeros(nb * TIER1_BUCKET - idx.size, dtype=idx.dtype)]
@@ -192,32 +197,20 @@ def main():
             for c in range(nb):
                 sl = pad[c * TIER1_BUCKET:(c + 1) * TIER1_BUCKET]
                 ys_sub = jnp.take(ys, jnp.asarray(sl), axis=1)
-                outs.append(filt_scms(scms0_b, mean0_b, scale0_b, ys_sub))
-            scms_last = np.concatenate(
+                outs.append(filt_jitter(cms0_b, mean0_b, ys_sub))
+            last_1 = np.concatenate(
                 [np.asarray(o[0][-1]) for o in outs]
             )[: idx.size]
-            means_last = np.concatenate(
-                [np.asarray(o[1][-1]) for o in outs]
-            )[: idx.size]
-            scales_last = np.concatenate(
-                [np.asarray(o[2][-1]) for o in outs]
-            )[: idx.size]
             nell_1 = np.concatenate(
-                [np.asarray(o[3]) for o in outs]
+                [np.asarray(o[2]) for o in outs]
             )[: idx.size]
-            fin1 = (
-                np.isfinite(scms_last).all(axis=-1)
-                & np.isfinite(nell_1)
-                & np.isfinite(scales_last)
-            )
+            fin1 = np.isfinite(last_1).all(axis=-1) & np.isfinite(nell_1)
             good = idx[fin1]
-            # splice: scms -> cms conversion is a power-of-scale rescale
-            pows = scales_last[fin1, None] ** np.arange(2 * N)
-            merged_last[good] = scms_last[fin1] * pows
+            merged_last[good] = last_1[fin1]
             merged_nell[good] = nell_1[fin1]
             total_rescued_t1 = int(fin1.sum())
 
-            # tier 2: host LAPACK f64 + LDL completion for the rest
+            # tier 2: host LAPACK f64 + LDL completion for any residue
             idx2 = idx[~fin1]
             if idx2.size:
                 nb2 = -(-idx2.size // TIER2_CHUNK)
@@ -256,7 +249,7 @@ def main():
             results["tpu_rescued"] = {
                 "trials_per_s": BATCH / t_resc,
                 "finite_frac": float(fin.mean()),
-                "rescued_tier1_scms": r1,
+                "rescued_tier1_jitter": r1,
                 "rescued_tier2_cpu_f64": r2,
                 "batch": BATCH,
                 "wall_s": t_resc,

@@ -55,7 +55,7 @@ def run_cell(N, mode, closure, trials, seed, chunk=None, stable=True,
         "moments": 1, "means": 1, "variances": 1, "scales": 1, "nell": 0,
     }
 
-    def make_run(impl, device=None):
+    def make_run(impl, device=None, quad_jitter=0.0):
         def run(ys_in):
             if device is not None:
                 ys_in = jax.device_put(jnp.asarray(ys_in), device)
@@ -65,18 +65,19 @@ def run_cell(N, mode, closure, trials, seed, chunk=None, stable=True,
                 else contextlib.nullcontext()
             )
             with ctx:
-                return _run_inner(impl, ys_in)
+                return _run_inner(impl, ys_in, quad_jitter)
 
         return run
 
-    def _run_inner(impl, ys_in):
+    def _run_inner(impl, ys_in, quad_jitter=0.0):
             n = ys_in.shape[1]
             if mode == "raw":
                 rms0 = jnp.broadcast_to(ic.rms, (n, 2 * N))
                 fn = jax.jit(
                     lambda r0, y: moment_filter_rms(
                         trans.rms, model.measurement_cond_pdf, r0, y,
-                        stable=stable, eigh_impl=impl
+                        stable=stable, eigh_impl=impl,
+                        quad_jitter=quad_jitter
                     )
                 )
                 (mss, nell), dt_run = common.timed_call(fn, rms0, ys_in)
@@ -90,7 +91,7 @@ def run_cell(N, mode, closure, trials, seed, chunk=None, stable=True,
                     lambda c0, y: moment_filter_cms(
                         trans.cms, trans.mean, model.measurement_cond_pdf, c0,
                         ic.mean * jnp.ones(n), y, stable=stable,
-                        eigh_impl=impl
+                        eigh_impl=impl, quad_jitter=quad_jitter
                     )
                 )
                 (mss, means, nell), dt_run = common.timed_call(fn, cms0, ys_in)
@@ -103,7 +104,8 @@ def run_cell(N, mode, closure, trials, seed, chunk=None, stable=True,
                         trans.scms, trans.mean_var, model.measurement_cond_pdf,
                         s0, ic.mean * jnp.ones(n),
                         jnp.sqrt(ic.variance) * jnp.ones(n),
-                        y, stable=stable, eigh_impl=impl
+                        y, stable=stable, eigh_impl=impl,
+                        quad_jitter=quad_jitter
                     )
                 )
                 (mss, means, scales, nell), dt_run = common.timed_call(
@@ -143,15 +145,20 @@ def run_cell(N, mode, closure, trials, seed, chunk=None, stable=True,
 
         fast = timed(make_run(eigh_impl))
         if rescue:
-            # Two-tier robustness: fast fused-kernel pass on the TPU,
-            # then re-run only the diverged trials through native-f64
-            # LAPACK eigh + LDL PD-completion on the host CPU (see
-            # ``mfs_tpu.parallel.ensemble.rescue_diverged``).  The
-            # robust tier alone shows ~0 divergences at raw-mode N=10
-            # where the reference's own f64 engine loses 32/1000.
-            robust = timed(make_run("xla", device=jax.devices("cpu")[0]))
+            # Tiered robustness: fast fused-kernel pass on the TPU,
+            # then (for the pallas engine) the *jittered* fused kernel
+            # on only the diverged trials — Gram-regularised double-f32,
+            # measured to rescue 265/265 of the N=15 losses where the
+            # host f64 tier manages 249/265 (tools/PROBE_RESCUE3.json)
+            # — and finally native-f64 LAPACK eigh + LDL PD-completion
+            # on the host CPU for any residue (see
+            # ``mfs_tpu.parallel.ensemble.rescue_diverged``).
+            tiers = []
+            if eigh_impl == "pallas":
+                tiers.append(timed(make_run("pallas", quad_jitter=1e-8)))
+            tiers.append(timed(make_run("xla", device=jax.devices("cpu")[0])))
             out, finite, rescued = rescue_diverged(
-                fast, robust, ys, finite_fn, trial_axes
+                fast, tiers, ys, finite_fn, trial_axes
             )
         else:
             out = fast(ys)

@@ -64,6 +64,7 @@ def moment_filter_rms(
     ys: Array,
     stable: bool = False,
     eigh_impl: str = "auto",
+    quad_jitter: float = 0.0,
 ) -> Tuple[Array, Array]:
     r"""Moment filter with raw-moment representation.
 
@@ -93,12 +94,12 @@ def moment_filter_rms(
         rms, nell = carry
 
         weights, nodes = moment_quadrature(
-            rms, stable=stable, eigh_impl=eigh_impl
+            rms, stable=stable, eigh_impl=eigh_impl, quad_jitter=quad_jitter
         )
         rms = jnp.einsum("...nj,...n->...j", state_cond_raw_moments(nodes), weights)
 
         weights, nodes = moment_quadrature(
-            rms, stable=stable, eigh_impl=eigh_impl
+            rms, stable=stable, eigh_impl=eigh_impl, quad_jitter=quad_jitter
         )
         pdf_vals = measurement_cond_pdf(_expand_y(y), nodes)
         pdf_y = jnp.einsum("...n,...n->...", pdf_vals, weights)
@@ -121,6 +122,7 @@ def moment_filter_cms(
     ys: Array,
     stable: bool = False,
     eigh_impl: str = "auto",
+    quad_jitter: float = 0.0,
 ) -> Tuple[Array, Array, Array]:
     r"""Moment filter with central-moment representation.
 
@@ -139,14 +141,14 @@ def moment_filter_cms(
         cms, mean, nell = carry
 
         weights, nodes = moment_quadrature(
-            cms, mean, stable=stable, eigh_impl=eigh_impl
+            cms, mean, stable=stable, eigh_impl=eigh_impl, quad_jitter=quad_jitter
         )
         mean = jnp.einsum("...n,...n->...", state_cond_mean(nodes), weights)
         cond_cms = state_cond_central_moments(nodes, mean[..., None])
         cms = jnp.einsum("...nj,...n->...j", cond_cms, weights)
 
         weights, nodes = moment_quadrature(
-            cms, mean, stable=stable, eigh_impl=eigh_impl
+            cms, mean, stable=stable, eigh_impl=eigh_impl, quad_jitter=quad_jitter
         )
         pdf_vals = measurement_cond_pdf(_expand_y(y), nodes)
         wp = pdf_vals * weights
@@ -173,6 +175,7 @@ def moment_filter_scms(
     ys: Array,
     stable: bool = False,
     eigh_impl: str = "auto",
+    quad_jitter: float = 0.0,
 ) -> Tuple[Array, Array, Array, Array]:
     r"""Moment filter with scaled-central-moment representation.
 
@@ -204,7 +207,7 @@ def moment_filter_scms(
         scms, mean, scale, nell = carry
 
         weights, nodes = moment_quadrature(
-            scms, mean, scale, stable=stable, eigh_impl=eigh_impl
+            scms, mean, scale, stable=stable, eigh_impl=eigh_impl, quad_jitter=quad_jitter
         )
         cond_means, cond_vars = state_cond_mean_var(nodes)
         mean = jnp.einsum("...n,...n->...", cond_means, weights)
@@ -227,7 +230,7 @@ def moment_filter_scms(
         scms = jnp.einsum("...nj,...n->...j", cond_scms, weights)
 
         weights, nodes = moment_quadrature(
-            scms, mean, scale, stable=stable, eigh_impl=eigh_impl
+            scms, mean, scale, stable=stable, eigh_impl=eigh_impl, quad_jitter=quad_jitter
         )
         pdf_vals = measurement_cond_pdf(_expand_y(y), nodes)
         wp = pdf_vals * weights

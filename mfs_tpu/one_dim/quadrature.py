@@ -53,6 +53,7 @@ def moment_quadrature(
     sort_nodes: bool = False,
     stable: bool = False,
     eigh_impl: str = "refined",
+    quad_jitter: float = 0.0,
 ) -> Tuple[Array, Array]:
     """Moment-matched Gauss quadrature from a (batched) moment vector.
 
@@ -77,6 +78,11 @@ def moment_quadrature(
         platform and batch size (``mfs_tpu.ops.dispatch``): the fused
         Pallas kernel on TPU at production batch sizes, the refined
         XLA path otherwise.
+    quad_jitter : float
+        Static Tikhonov regularisation of the (equilibrated, unit-
+        diagonal) Gram matrix inside the Pallas kernel paths; used by
+        the divergence-rescue tiers (ignored by the XLA paths, whose
+        ``stable=True`` LDL completion plays the same role).
 
     Returns
     -------
@@ -93,7 +99,9 @@ def moment_quadrature(
         # built-in pivot floor (the ``stable`` completion is implicit).
         from mfs_tpu.ops.pallas_quadrature import moment_quadrature_fused
 
-        return moment_quadrature_fused(ms, jnp.asarray(mean), jnp.asarray(scale))
+        return moment_quadrature_fused(
+            ms, jnp.asarray(mean), jnp.asarray(scale), jitter=quad_jitter
+        )
 
     n = ms.shape[-1] // 2
     g_inds, h_inds = _hankel_indices_np(n)

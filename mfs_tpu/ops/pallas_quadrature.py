@@ -92,7 +92,8 @@ def _sturm_count_df(alphas, betas2, x: DF, n):
     return cnt
 
 
-def _quadrature_kernel(n: int, ms_hi_ref, ms_lo_ref, mean_ref, scale_ref,
+def _quadrature_kernel(n: int, jitter: float, ms_hi_ref, ms_lo_ref,
+                       mean_ref, scale_ref,
                        w_hi_ref, w_lo_ref, x_hi_ref, x_lo_ref):
     """One fused quadrature for a (2n, B) block of moment vectors.
 
@@ -101,6 +102,13 @@ def _quadrature_kernel(n: int, ms_hi_ref, ms_lo_ref, mean_ref, scale_ref,
     slice* of the moment rows, so the Cholesky needs only n^2/2 wide
     double-f32 ops (not n^3/6 scalar ones) — which keeps both the VPU
     busy and the traced program small.
+
+    ``jitter`` (static) adds ``jitter * I`` to the *equilibrated* Gram
+    matrix (whose diagonal is exactly 1), i.e. a relative Tikhonov
+    regularisation.  Zero for production accuracy; the divergence-
+    rescue tiers re-run lost trials with ``jitter ~ 1e-6`` so the
+    double-f32 factorisation survives Hankel matrices whose condition
+    number exceeds the 2^-45 working precision.
     """
     b = ms_hi_ref.shape[1]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, b), 0)
@@ -160,6 +168,13 @@ def _quadrature_kernel(n: int, ms_hi_ref, ms_lo_ref, mean_ref, scale_ref,
     diag = []     # R' diagonal: sqrt(d) or the completion value
     for j in range(n):
         acc = col_scaled(j)
+        if jitter:
+            # relative Tikhonov: the equilibrated diagonal is 1, so
+            # adding ``jitter`` at row j regularises G' by jitter * I.
+            jcol = jnp.where(
+                row_ids == j, jnp.float32(jitter), jnp.float32(0.0)
+            )
+            acc = dfm.add(acc, DF(jcol, jnp.zeros_like(jcol)))
         for k in range(j):
             acc = dfm.sub(
                 acc, dfm.mul(Lunits[k], dfm.mul(ds[k], getrow(Lunits[k], j)))
@@ -338,13 +353,14 @@ class _ArrayRef:
         self.value = self.value.at[idx].set(val)
 
 
-def run_kernel_as_jnp(n: int, ms_hi, ms_lo, mean_in, scale_in):
+def run_kernel_as_jnp(n: int, ms_hi, ms_lo, mean_in, scale_in, jitter=0.0):
     """Execute the kernel body outside Pallas (testing / CPU oracle)."""
     outs = [
         _ArrayRef(shape=(n, ms_hi.shape[1])) for _ in range(4)
     ]
     _quadrature_kernel(
         n,
+        jitter,
         _ArrayRef(ms_hi),
         _ArrayRef(ms_lo),
         _ArrayRef(mean_in),
@@ -355,8 +371,8 @@ def run_kernel_as_jnp(n: int, ms_hi, ms_lo, mean_in, scale_in):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_kernel(n: int, block_b: int, interpret: bool):
-    kern = functools.partial(_quadrature_kernel, n)
+def _build_kernel(n: int, block_b: int, interpret: bool, jitter: float = 0.0):
+    kern = functools.partial(_quadrature_kernel, n, jitter)
     # The wrapper slices the batch into blocks itself, so each call is
     # one whole-array block (a grid index map returning a python-int 0
     # lowers to an i64 under x64 and fails Mosaic's func.return checks).
@@ -377,6 +393,7 @@ def moment_quadrature_pallas(
     scale=1.0,
     block_b: int = 512,
     interpret: bool = None,
+    jitter: float = 0.0,
 ) -> Tuple[Array, Array]:
     """Drop-in fused-kernel counterpart of ``moment_quadrature``.
 
@@ -423,7 +440,7 @@ def moment_quadrature_pallas(
     mean_in = jnp.concatenate([mean_df.hi, mean_df.lo], axis=0)  # (2, Bp)
     scale_in = jnp.concatenate([scale_df.hi, scale_df.lo], axis=0)
 
-    call = _build_kernel(n, block_b, interpret)
+    call = _build_kernel(n, block_b, interpret, float(jitter))
     outs = []
     # Mosaic rejects (and does not need) the XLA anti-folding barriers;
     # trace the kernel body without them.
@@ -479,48 +496,36 @@ def _solve_f32_refined(a, b, iters: int = 4):
     return x
 
 
-@jax.custom_jvp
-def moment_quadrature_fused(ms, mean, scale):
-    """Fused Pallas quadrature with implicit-function derivatives.
+def _vdm_frame(w, x, ms, mean, scale):
+    """Confluent-Vandermonde system of the moment-reproduction identity.
 
-    Primal: the double-f32 Pallas kernel.  Tangent: the quadrature is
-    the (locally unique) solution of the moment-reproduction system
+    The quadrature is the (locally unique) solution of
 
         sum_k w_k lam_k^j = m_j,   j = 0 .. 2n-1,
 
-    so its exact Jacobian is the inverse of the confluent Vandermonde
-    matrix at the primal nodes — one batched (2n, 2n) linear solve,
-    instead of re-running the entire f64 XLA quadrature pipeline the
-    way the old tangent rule did (~10x the work).  See ``_fused_jvp``.
+    in the eigenvalue frame ``lam = (x - mean) / scale``.  To keep the
+    powers O(1) regardless of the moment mode, work with ``t = lam /
+    sigma`` for a *constant* (primal, stop-gradient) frame scale
+    ``sigma ~ std``; the identity becomes ``sum_k w_k t_k^j = m_j /
+    sigma^j``.  Returns ``(A, P, lam, sigma, sig_pows)`` where ``A`` is
+    the (..., 2n, 2n) Jacobian ``[P | w * dP/dt]`` of the identity with
+    respect to ``[w | t]`` and ``P[..., j, k] = t_k^j``.
+
+    Shared by the implicit-function JVP of the fused kernel and the
+    f64 Newton polish (``moment_quadrature_polished``).
     """
-    return moment_quadrature_pallas(ms, mean, scale)
-
-
-@moment_quadrature_fused.defjvp
-def _fused_jvp(primals, tangents):
-    ms, mean, scale = primals
-    dms, dmean, dscale = tangents
-    w, x = moment_quadrature_fused(ms, mean, scale)
-
     n = w.shape[-1]
     dtype = w.dtype
     mean_b = jnp.asarray(mean, dtype)[..., None]
     scale_b = jnp.asarray(scale, dtype)[..., None]
-    lam = (x - mean_b) / scale_b  # eigenvalue frame: sum w lam^j = ms_j
+    lam = (x - mean_b) / scale_b
 
-    # Precondition: work with t = lam / sigma for a *constant* (primal,
-    # stop-gradient) frame scale sigma ~ std, so the Vandermonde powers
-    # stay O(1) regardless of the moment mode.  The identity becomes
-    # sum_k w_k t_k^j = m_j / sigma^j with d(rhs)_j = dms_j / sigma^j.
     m0 = jnp.maximum(ms[..., 0], jnp.finfo(dtype).tiny)
     sigma = jax.lax.stop_gradient(
         jnp.sqrt(jnp.maximum(ms[..., 2] / m0, jnp.finfo(dtype).tiny))
     )[..., None]
     t = lam / sigma
 
-    # Confluent Vandermonde in the t frame:
-    #   rows j = 0..2n-1;  columns [dw_k | dt_k]:
-    #   d m~_j = sum_k t_k^j dw_k + sum_k j w_k t_k^{j-1} dt_k.
     powers = [jnp.ones_like(t)]
     for _ in range(2 * n - 1):
         powers.append(powers[-1] * t)
@@ -532,12 +537,66 @@ def _fused_jvp(primals, tangents):
     A = jnp.concatenate([P, w[..., None, :] * dPdt], axis=-1)  # (..., 2n, 2n)
 
     sig_pows = sigma ** jnp.arange(2 * n, dtype=dtype)
+    return A, P, lam, sigma, sig_pows
+
+
+def _implicit_tangent(w, x, ms, mean, scale, dms, dmean, dscale):
+    """Tangent of the quadrature via the moment-reproduction identity."""
+    n = w.shape[-1]
+    dtype = w.dtype
+    A, _, lam, sigma, sig_pows = _vdm_frame(w, x, ms, mean, scale)
     rhs = (jnp.asarray(dms, dtype) / sig_pows)[..., None]
     sol = _solve_f32_refined(A, rhs)[..., 0]
     dw = sol[..., :n]
     dlam = sol[..., n:] * sigma
 
+    scale_b = jnp.asarray(scale, dtype)[..., None]
     dmean_b = jnp.asarray(dmean, dtype)[..., None]
     dscale_b = jnp.asarray(dscale, dtype)[..., None]
     dx = dscale_b * lam + scale_b * dlam + dmean_b
+    return dw, dx
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0,))
+def _fused_core(jitter, ms, mean, scale):
+    return moment_quadrature_pallas(ms, mean, scale, jitter=jitter)
+
+
+@_fused_core.defjvp
+def _fused_jvp(jitter, primals, tangents):
+    ms, mean, scale = primals
+    dms, dmean, dscale = tangents
+    w, x = _fused_core(jitter, ms, mean, scale)
+    dw, dx = _implicit_tangent(w, x, ms, mean, scale, dms, dmean, dscale)
     return (w, x), (dw, dx)
+
+
+def moment_quadrature_fused(ms, mean, scale, jitter: float = 0.0):
+    """Fused Pallas quadrature with implicit-function derivatives.
+
+    Primal: the double-f32 Pallas kernel.  Tangent: the quadrature is
+    the (locally unique) solution of the moment-reproduction system,
+    so its exact Jacobian is the inverse of the confluent Vandermonde
+    matrix at the primal nodes — one batched (2n, 2n) linear solve,
+    instead of re-running the entire f64 XLA quadrature pipeline the
+    way the old tangent rule did (~10x the work).  See ``_fused_jvp``.
+
+    ``jitter`` (static) regularises the in-kernel Gram factorisation —
+    see ``moment_quadrature_pallas``.
+    """
+    return _fused_core(float(jitter), ms, mean, scale)
+
+
+# NOTE (round 5): a "polished" variant — kernel primal + f64 Newton
+# correction on the moment-reproduction system, reusing ``_vdm_frame``
+# — was implemented and measured (tools/PROBE_RESCUE2.json).  It is
+# structurally unsound at production orders: the confluent Vandermonde
+# of the identity has condition ~1e28 at n = 15 (t^29 spans ~19 decades
+# across the node range), so the Newton step's error exceeds the
+# kernel's own ~1e-9 error by orders of magnitude and *corrupts* good
+# outputs (measured finite_frac 0.06 on the N=15 bench workload).  The
+# implicit-function JVP tolerates the same solve because optimiser
+# tangents only need relative accuracy; state corrections do not.  The
+# divergence-rescue role is instead filled by the jittered kernel
+# (``jitter`` above), which rescued 265/265 lost trials at N=15 where
+# the host LAPACK-f64 tier managed 249/265.

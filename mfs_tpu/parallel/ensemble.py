@@ -105,32 +105,46 @@ def rescue_diverged(
     Returns
     -------
     merged : dict, finite : (B,) bool ndarray, rescued : int
+
+    ``run_robust`` may also be a *sequence* of drivers, applied in
+    order to the (shrinking) set of still-diverged trials — e.g. the
+    jittered fused kernel first (on-TPU, rescued 265/265 of the N=15
+    bench losses at ~1/6 the fast pass's cost, tools/PROBE_RESCUE3
+    .json) and the host LAPACK-f64 + LDL-completion pass as the final
+    fallback.
     """
+    tiers = (
+        list(run_robust) if isinstance(run_robust, (list, tuple))
+        else [run_robust]
+    )
     out = run_fast(ys)
     finite = np.asarray(finite_fn(out))
     n = finite.shape[0]
-    if finite.all():
-        return out, finite, 0
-
-    idx = np.where(~finite)[0]
-    k = idx.shape[0]
-    pad = np.concatenate([idx, np.zeros(n - k, dtype=idx.dtype)])
-    robust = run_robust(jnp.take(ys, jnp.asarray(pad), axis=1))
-    finite_r = np.asarray(finite_fn(robust))[:k]
-    good = idx[finite_r]
-    sel = np.where(finite_r)[0]
-
     merged = dict(out)
-    for key, ax in trial_axes.items():
-        if key not in merged or key not in robust:
-            continue
-        a = np.asarray(merged[key]).copy()
-        b = np.asarray(robust[key])
-        dst = [slice(None)] * a.ndim
-        src = [slice(None)] * b.ndim
-        dst[ax], src[ax] = good, sel
-        a[tuple(dst)] = b[tuple(src)]
-        merged[key] = a
-    finite = finite.copy()
-    finite[good] = True
-    return merged, finite, int(good.shape[0])
+    total_rescued = 0
+
+    for tier in tiers:
+        if finite.all():
+            break
+        idx = np.where(~finite)[0]
+        k = idx.shape[0]
+        pad = np.concatenate([idx, np.zeros(n - k, dtype=idx.dtype)])
+        robust = tier(jnp.take(ys, jnp.asarray(pad), axis=1))
+        finite_r = np.asarray(finite_fn(robust))[:k]
+        good = idx[finite_r]
+        sel = np.where(finite_r)[0]
+
+        for key, ax in trial_axes.items():
+            if key not in merged or key not in robust:
+                continue
+            a = np.asarray(merged[key]).copy()
+            b = np.asarray(robust[key])
+            dst = [slice(None)] * a.ndim
+            src = [slice(None)] * b.ndim
+            dst[ax], src[ax] = good, sel
+            a[tuple(dst)] = b[tuple(src)]
+            merged[key] = a
+        finite = finite.copy()
+        finite[good] = True
+        total_rescued += int(good.shape[0])
+    return merged, finite, total_rescued

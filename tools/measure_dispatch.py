@@ -145,14 +145,16 @@ if __name__ == "__main__":
     p.add_argument("--skip-nd", action="store_true")
     p.add_argument("--nd-ns", type=int, nargs="+", default=None)
     p.add_argument("--nd-bs", type=int, nargs="+", default=None)
+    p.add_argument("--one-d-ns", type=int, nargs="+", default=None)
+    p.add_argument("--one-d-bs", type=int, nargs="+", default=None)
     p.add_argument("--merge", action="store_true",
                    help="merge rows into an existing DISPATCH_MEASURE.json")
     args = p.parse_args()
 
     out = {"device": str(jax.devices()[0])}
     if not args.skip_1d:
-        Ns = [8, 15] if args.quick else [4, 8, 15]
-        Bs = [8, 32, 128, 512] if args.quick else [4, 16, 64, 512]
+        Ns = args.one_d_ns or ([8, 15] if args.quick else [4, 8, 15])
+        Bs = args.one_d_bs or ([8, 32, 128, 512] if args.quick else [4, 16, 64, 512])
         out["one_d"] = sweep_1d(Ns, Bs)
     if not args.skip_nd:
         Ns = args.nd_ns or ([3, 5] if args.quick else [3, 5, 7, 9])
