@@ -207,6 +207,11 @@ def main():
             row["gh_order"] = args.gh
         if method == "pf":
             row["nparticles"] = args.nparticles
+        # Per-row protocol hyperparameters: rows survive partial
+        # --methods re-runs, so each must carry the settings it was
+        # produced under (a shared string could misdescribe retained
+        # rows from runs with different gh/nparticles/gtol).
+        row["gtol"] = args.gtol
         rows.append(row)
         common.emit(row)
 
@@ -224,12 +229,13 @@ def main():
     summary["baselines"] = [merged[m] for m in ("ghf", "ekf", "pf")
                             if m in merged]
     summary["baselines_protocol"] = (
-        "GHF (GH order {gh}) / EKF / bootstrap PF ({np} particles, "
-        "continuous resampling) MLE on trials identical to the MF leg; "
-        "per-trial batched L-BFGS (fit_mle_batched) with gtol={gt}; "
-        "counterpart of dardel/parameter_estimation/ghf_ekf.py and "
-        "pf.py (SciPy L-BFGS-B, one process per trial)."
-    ).format(gh=args.gh, np=args.nparticles, gt=args.gtol)
+        "GHF / EKF / bootstrap PF (continuous resampling) MLE on trials "
+        "identical to the MF leg; per-trial batched L-BFGS "
+        "(fit_mle_batched); hyperparameters (gh_order / nparticles / "
+        "gtol) are stored per row since rows survive partial --methods "
+        "re-runs; counterpart of dardel/parameter_estimation/ghf_ekf.py "
+        "and pf.py (SciPy L-BFGS-B, one process per trial)."
+    )
     with open(path, "w") as f:
         json.dump(summary, f, indent=1)
     print("wrote", path)

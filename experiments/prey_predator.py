@@ -155,20 +155,34 @@ def main():
                 common.emit(agree)
 
     if args.summary:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "SUMMARY_prey_predator.json")
         out = dict(
             protocol=(
-                f"prey-predator 2D Lotka-Volterra, T={args.T}, "
-                f"{args.mode} mode, TME-{args.tme_order} "
-                f"({args.transition} transition), f64 I/O, single v5e "
-                f"chip; N sweep x eigh implementation with per-N "
-                f"pallas-vs-refined nell agreement (reference "
+                f"prey-predator 2D Lotka-Volterra, {args.mode} mode, "
+                f"TME-{args.tme_order} ({args.transition} transition), "
+                f"f64 I/O, single v5e chip; N sweep x eigh "
+                f"implementation with per-N nell cross-checks; T and "
+                f"trials per row (reference "
                 f"dardel/run_prey_predator_mf_gpu.sh:4-40 runs N>5 on "
                 f"one GPU per Slurm task)"
             ),
             rows=rows,
         )
-        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "SUMMARY_prey_predator.json")
+        # Merge: a partial --Ns re-run must not clobber other Ns' rows.
+        if os.path.exists(path):
+            with open(path) as f:
+                old = json.load(f)
+
+            def rowkey(r):
+                return (r.get("N"), r.get("eigh_impl"),
+                        r.get("nell_agreement"), r.get("mode"))
+
+            mine = {rowkey(r) for r in rows}
+            out["rows"] = [
+                r for r in old.get("rows", []) if rowkey(r) not in mine
+            ] + rows
+            out["rows"].sort(key=lambda r: (r.get("N") or 0))
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
         print("wrote", path)

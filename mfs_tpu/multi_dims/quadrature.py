@@ -95,8 +95,21 @@ def moment_quadrature_nd(
     Hs = ms[..., inds[1:]]  # (..., d, s, s)
 
     if eigh_impl == "auto":
+        from jax._src.interpreters import batching
+
         from mfs_tpu.ops.dispatch import resolve_impl_nd
 
+        if isinstance(ms, batching.BatchTracer):
+            # See the 1D twin: a vmapped trial axis is invisible to the
+            # dispatch policy, which then undercounts the batch.
+            import warnings
+
+            warnings.warn(
+                "moment_quadrature_nd(eigh_impl='auto') inside jax.vmap:"
+                " the mapped axis is invisible to the dispatch policy, "
+                "which will undercount the batch. Pass an explicit "
+                "eigh_impl or call the filters batch-first."
+            )
         batch = int(np.prod(ms.shape[:-1])) if ms.ndim > 1 else 1
         eigh_impl = resolve_impl_nd(s, batch, d=d)
     if eigh_impl == "pallas":

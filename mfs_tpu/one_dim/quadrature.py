@@ -19,6 +19,7 @@ Pipeline per batch element (n x n throughout):
 """
 import functools
 import math
+import warnings
 from typing import Any, Callable, Tuple
 
 import jax
@@ -89,8 +90,24 @@ def moment_quadrature(
     weights : Array (..., n), nodes : Array (..., n)
     """
     if eigh_impl == "auto":
+        from jax._src.interpreters import batching
+
         from mfs_tpu.ops.dispatch import resolve_impl_1d
 
+        if isinstance(ms, batching.BatchTracer):
+            # Under an outer jax.vmap the mapped trial axis is invisible
+            # to the trace, so "auto" would undercount the batch and may
+            # pick the wrong impl.  The in-repo filters are batch-first
+            # by construction (no vmap on the trial axis); user code
+            # that vmaps should pass an explicit eigh_impl.
+            warnings.warn(
+                "moment_quadrature(eigh_impl='auto') inside jax.vmap: "
+                "the mapped axis is invisible to the dispatch policy, "
+                "which will undercount the batch. Pass an explicit "
+                "eigh_impl (e.g. 'pallas' on TPU at production batch "
+                "sizes, 'refined' otherwise) or call the filters "
+                "batch-first instead of vmapping the trial axis."
+            )
         batch = int(np.prod(ms.shape[:-1])) if ms.ndim > 1 else 1
         eigh_impl = resolve_impl_1d(ms.shape[-1] // 2, batch)
     if eigh_impl == "pallas":

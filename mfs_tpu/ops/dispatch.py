@@ -30,6 +30,14 @@ import jax
 # measured batch down to B=4 (1.9x at N=4/B=4 up to 43x at N=15/B=512)
 # because the XLA-f64 emulation overhead exceeds the padding waste.
 _MIN_BATCH_PALLAS_1D = 1
+# Measured upper order boundary for the fused 1D kernel (VERDICT r04
+# item 4): the statically-unrolled O(n^2) column program compiles and
+# wins at every measured n up to 32 (33x at n=16 to 121x at n=32,
+# B=512 — tools/DISPATCH_MEASURE.json; no Mosaic statement-count crash
+# in range, unlike the ND K-builder's s=36 wall).  Orders beyond 32
+# (modes of 64 moments) are unmeasured territory — route them to the
+# refined XLA path rather than risk an unbounded remote compile.
+_MAX_N_PALLAS_1D = 32
 
 # ND: the fused kernel (s <= 10) and the hybrid K-builder + refined
 # eigh (s > 10) beat the all-XLA refined path at every measured cell —
@@ -68,6 +76,8 @@ def resolve_impl_1d(n: int, batch: int, requested: str = "auto") -> str:
         return requested
     if _default_platform() != "tpu":
         return "refined"
+    if n > _MAX_N_PALLAS_1D:
+        return "refined"  # beyond the measured compile/win range
     return "pallas" if batch >= _MIN_BATCH_PALLAS_1D else "refined"
 
 

@@ -62,6 +62,21 @@ def test_dispatch_resolution():
     assert resolve_impl_nd(6, 4096) == "refined"
 
 
+def test_dispatch_1d_order_gate(monkeypatch):
+    """auto never routes an order beyond the measured n <= 32 compile/
+    win range to the 1D kernel (VERDICT r04 item 4)."""
+    import mfs_tpu.ops.dispatch as dispatch
+
+    monkeypatch.setattr(dispatch, "_default_platform", lambda: "tpu")
+    assert dispatch.resolve_impl_1d(15, 4096) == "pallas"
+    assert dispatch.resolve_impl_1d(32, 512) == "pallas"  # measured good
+    assert dispatch.resolve_impl_1d(33, 4096) == "refined"  # gated
+    assert dispatch.resolve_impl_1d(64, 4096) == "refined"
+    # the ND gate still mirrors the measured s-boundary
+    assert dispatch.resolve_impl_nd(28, 256) == "pallas"
+    assert dispatch.resolve_impl_nd(36, 256) == "refined"
+
+
 def test_bootstrap_remat_chunk_unchanged_forward():
     """remat_chunk must not change the filter's outputs (same keys,
     same scan semantics, only the autodiff residual layout differs)."""

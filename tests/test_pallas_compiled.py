@@ -166,3 +166,61 @@ def test_nd_k_kernel_oracle_matches_xla():
         left_side=False, lower=True, transpose_a=True,
     )
     np.testing.assert_allclose(np.asarray(Ks), np.asarray(Ko), atol=1e-10)
+
+
+def test_interpret_quadrature_jitter():
+    """Gram jitter: regularised kernel stays close at benign inputs and
+    the jittered build is a distinct compiled program (lru key)."""
+    N, B = 4, 8
+    ms = _mixture_moments(2 * N, B)
+    w0, x0 = jax.jit(
+        lambda m: pq.moment_quadrature_pallas(m, block_b=8, interpret=True)
+    )(ms)
+    w1, x1 = jax.jit(
+        lambda m: pq.moment_quadrature_pallas(
+            m, block_b=8, interpret=True, jitter=1e-6
+        )
+    )(ms)
+    assert bool(jnp.isfinite(w1).all() and jnp.isfinite(x1).all())
+    # jitter=1e-6 on the unit-diagonal equilibrated Gram perturbs the
+    # rule by O(jitter) at well-conditioned inputs...
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x0), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w0), atol=1e-4)
+    # ...but must actually regularise (not be a silent no-op).
+    assert float(jnp.max(jnp.abs(x1 - x0))) > 0.0
+
+
+def test_filter_quad_jitter_kwarg(monkeypatch):
+    """quad_jitter reaches the kernel through the public filter API."""
+    monkeypatch.setattr(pq, "INTERPRET", True)
+    from mfs_tpu.models import benes_bernoulli
+    from mfs_tpu.one_dim.filtering import moment_filter_cms
+    from mfs_tpu.sde import sde_cond_moments_tme_normal
+
+    N, B, T = 3, 2, 4
+    model = benes_bernoulli(N=N)
+    trans = sde_cond_moments_tme_normal(
+        model.drift, model.dispersion, model.dt, 2, N
+    )
+    ic = model.init_cond
+    xs = model.simulate(jax.random.PRNGKey(0), B)[:, :T]
+    ys = jax.random.bernoulli(
+        jax.random.PRNGKey(1), model.emission(xs)
+    ).astype(xs.dtype).T
+    cms0 = jnp.broadcast_to(ic.cms, (B, 2 * N))
+    mean0 = ic.mean * jnp.ones(B)
+    import mfs_tpu.ops.pallas_quadrature as _pq
+
+    _pq._build_kernel.cache_clear()
+    cmss0, _, nell0 = moment_filter_cms(
+        trans.cms, trans.mean, model.measurement_cond_pdf,
+        cms0, mean0, ys, eigh_impl="pallas",
+    )
+    cmss1, _, nell1 = moment_filter_cms(
+        trans.cms, trans.mean, model.measurement_cond_pdf,
+        cms0, mean0, ys, eigh_impl="pallas", quad_jitter=1e-7,
+    )
+    assert bool(jnp.isfinite(cmss1).all() and jnp.isfinite(nell1).all())
+    np.testing.assert_allclose(
+        np.asarray(nell1), np.asarray(nell0), rtol=1e-4
+    )

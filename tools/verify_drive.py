@@ -1,4 +1,9 @@
-"""Verify drive: flagship Beneš–Bernoulli flow on the real TPU."""
+"""Verify drive: flagship Beneš–Bernoulli flow on the real TPU.
+
+Run from anywhere: ``JAX_PLATFORMS='' python tools/verify_drive.py``.
+"""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import mfs_tpu; mfs_tpu.enable_x64()
 import jax, jax.numpy as jnp, numpy as np
 
