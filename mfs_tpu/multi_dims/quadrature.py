@@ -117,6 +117,7 @@ def moment_quadrature_nd(
             MAX_S,
             nd_eigh_pallas,
             nd_k_pallas,
+            nd_k_pallas_staged,
         )
 
         if s <= MAX_S:
@@ -138,8 +139,18 @@ def moment_quadrature_nd(
             # is 18x cheaper than 2 f64-emulated Jacobi sweeps
             # (10.7 vs 193 ms) AND more accurate than 1 sweep (recon
             # 1.3e-11 vs 1.7e-9) — the Jacobi polish was ~95% of the
-            # whole quadrature's cost at large s.
-            Ks = nd_k_pallas(ms, inds)
+            # whole quadrature's cost at large s.  Beyond the
+            # monolithic program's measured Mosaic compile wall
+            # (s = 28 good, s = 36 crash) the staged multi-call
+            # builder takes over — bounded per-program unrolls push
+            # the Pallas path into the reference's GPU regime
+            # (2D N = 9, s = 45).
+            from mfs_tpu.ops.dispatch import _ND_MAX_S_PALLAS
+
+            if s <= _ND_MAX_S_PALLAS:
+                Ks = nd_k_pallas(ms, inds)
+            else:
+                Ks = nd_k_pallas_staged(ms, inds)
             vals, vecs = eigh_refined(Ks, sort=sort_nodes)
     else:
         R = ldl_chol(G) if stable else jax.lax.linalg.cholesky(G)

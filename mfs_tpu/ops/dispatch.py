@@ -50,11 +50,16 @@ _MIN_BATCH_PALLAS_ND = 1
 # budget.
 _ND_VMEM_BUDGET = 10e6
 # Measured Mosaic-compile feasibility (tools/DISPATCH_MEASURE.json):
-# the K-builder's per-entry unrolled program compiles and wins at
-# s = 28 (d=2 N=7) but the remote compile crashes at s = 36 and 45
-# even though both fit the VMEM budget — the statement count, not
-# memory, is the boundary.  Gate at the largest measured-good size.
-_ND_MAX_S_PALLAS = 28
+# the MONOLITHIC K-builder's per-entry unrolled program compiles and
+# wins at s = 28 (d=2 N=7) but the remote compile crashes at s = 36
+# and 45 even though both fit the VMEM budget — the statement count,
+# not memory, is the boundary.  Above it the STAGED multi-pallas_call
+# builder (panelled left-looking LDL + chunked solves,
+# ``nd_k_pallas_staged``) takes over: measured to compile and beat
+# refined at s = 36 (1.23-1.27x) and s = 45 (1.2x) — the reference's
+# GPU regime (2D N = 9).  s > 45 is unmeasured compile territory.
+_ND_MAX_S_PALLAS = 28        # monolithic program boundary
+_ND_MAX_S_PALLAS_STAGED = 45  # staged-builder measured boundary
 
 
 def _default_platform() -> str:
@@ -89,8 +94,13 @@ def resolve_impl_nd(
         return requested
     if _default_platform() != "tpu":
         return "refined"
+    if s > _ND_MAX_S_PALLAS_STAGED:
+        return "refined"  # beyond the staged builder's measured range
     if s > _ND_MAX_S_PALLAS:
-        return "refined"  # K-builder compile infeasible (measured)
+        # staged builder: largest per-stage live set ~4 s^2 DF pairs
+        if 4 * s * s * 8 * 128 > _ND_VMEM_BUDGET:
+            return "refined"
+        return "pallas" if batch >= _MIN_BATCH_PALLAS_ND else "refined"
     if (4 + d) * s * s * 8 * 128 > _ND_VMEM_BUDGET:
         return "refined"  # K-builder's minimum block cannot fit VMEM
     return "pallas" if batch >= _MIN_BATCH_PALLAS_ND else "refined"

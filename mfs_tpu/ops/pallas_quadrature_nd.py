@@ -393,6 +393,478 @@ def _nd_k_kernel(d: int, s: int, oh_ref, ms_hi_ref, ms_lo_ref,
             k_lo_ref[base:base + s, :] = krow.lo
 
 
+def _nd_ldl_kernel(s: int, ms_hi_ref, ms_lo_ref, oh_ref,
+                   l_hi_ref, l_lo_ref, c_hi_ref, c_lo_ref,
+                   isc_hi_ref, isc_lo_ref):
+    """Stage 1 of the staged K-builder: equilibrated LDL of the Gram.
+
+    Same math as the LDL block of ``_nd_k_kernel`` but emitted as its
+    own Pallas program so the traced statement count stays below the
+    Mosaic compile wall (the monolithic kernel crashes the remote
+    compiler at s = 36).  Outputs: the unit-lower factor L (flat
+    column-major, (s*s, B)), the equilibration vector c, and the
+    inverse R'-diagonal 1/scale — everything stages 2/3 need.
+    """
+    b = ms_hi_ref.shape[1]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (s, b), 0)
+    ms_hi = ms_hi_ref[:, :]
+    ms_lo = ms_lo_ref[:, :]
+    oh = oh_ref[:, :]
+    Gflat = DF(
+        jax.lax.dot(oh, ms_hi, precision=jax.lax.Precision.HIGHEST),
+        jax.lax.dot(oh, ms_lo, precision=jax.lax.Precision.HIGHEST),
+    )
+
+    def gcol(flat: DF, j) -> DF:
+        return DF(flat.hi[j * s:(j + 1) * s, :], flat.lo[j * s:(j + 1) * s, :])
+
+    def getrow(x: DF, i) -> DF:
+        return DF(x.hi[i:i + 1, :], x.lo[i:i + 1, :])
+
+    cs = []
+    for j in range(s):
+        gjj = getrow(gcol(Gflat, j), j)
+        gjj = dfm.where(gjj.hi <= jnp.float32(1e-30), dfm.df(1.0), gjj)
+        cs.append(dfm.div(dfm.df(1.0), dfm.sqrt(gjj)))
+    cvec = DF(
+        jnp.concatenate([c.hi for c in cs], axis=0),
+        jnp.concatenate([c.lo for c in cs], axis=0),
+    )
+
+    pivot_diag = np.float32(_PIVOT_DIAG * s)
+    Lcols, dpivs, inv_scales = [], [], []
+    for j in range(s):
+        acc = dfm.mul(dfm.mul(cvec, gcol(Gflat, j)), cs[j])
+        for k in range(j):
+            acc = dfm.sub(
+                acc, dfm.mul(Lcols[k], dfm.mul(dpivs[k], getrow(Lcols[k], j)))
+            )
+        dj = getrow(acc, j)
+        bad = dj.hi <= 0.0
+        tiny = jnp.float32(1e-35)
+        signed_tiny = DF(
+            jnp.where(dj.hi < 0.0, -tiny, tiny), jnp.zeros_like(dj.hi)
+        )
+        dj = dfm.where(jnp.abs(dj.hi) < tiny, signed_tiny, dj)
+        sq = dfm.sqrt(dfm.where(bad, dfm.df(1.0), dj))
+        scale_j = DF(jnp.where(bad, pivot_diag, sq.hi),
+                     jnp.where(bad, 0.0, sq.lo))
+        cu = dfm.div(acc, dj)
+        below = row_ids > j
+        on = row_ids == j
+        cu = DF(
+            jnp.where(on, 1.0, jnp.where(below, cu.hi, 0.0)),
+            jnp.where(on, 0.0, jnp.where(below, cu.lo, 0.0)),
+        )
+        Lcols.append(cu)
+        dpivs.append(dj)
+        inv_scales.append(dfm.div(dfm.df(1.0), scale_j))
+        l_hi_ref[j * s:(j + 1) * s, :] = cu.hi
+        l_lo_ref[j * s:(j + 1) * s, :] = cu.lo
+
+    c_hi_ref[:, :] = cvec.hi
+    c_lo_ref[:, :] = cvec.lo
+    isc_hi_ref[:, :] = jnp.concatenate([x.hi for x in inv_scales], axis=0)
+    isc_lo_ref[:, :] = jnp.concatenate([x.lo for x in inv_scales], axis=0)
+
+
+def _nd_fsolve_kernel(s: int, c0: int, c1: int, ms_hi_ref, ms_lo_ref,
+                      oh_ref, l_hi_ref, l_lo_ref, c_hi_ref, c_lo_ref,
+                      w_hi_ref, w_lo_ref):
+    """Stage 2: W[:, c0:c1] = Lu^{-1} H'[:, c0:c1] for one column chunk.
+
+    The column loop is embarrassingly parallel across chunks, so the
+    statement count per program is bounded by (c1 - c0) * s rowops
+    regardless of s — the knob that keeps every stage below the Mosaic
+    wall.  ``oh_ref`` holds only the one-hot gather rows of the H
+    columns in this chunk.
+    """
+    ms_hi = ms_hi_ref[:, :]
+    ms_lo = ms_lo_ref[:, :]
+    oh = oh_ref[:, :]
+    Hflat = DF(
+        jax.lax.dot(oh, ms_hi, precision=jax.lax.Precision.HIGHEST),
+        jax.lax.dot(oh, ms_lo, precision=jax.lax.Precision.HIGHEST),
+    )
+    cvec = DF(c_hi_ref[:, :], c_lo_ref[:, :])
+
+    def getrow(x: DF, i) -> DF:
+        return DF(x.hi[i:i + 1, :], x.lo[i:i + 1, :])
+
+    def lcol(k) -> DF:
+        return DF(l_hi_ref[k * s:(k + 1) * s, :], l_lo_ref[k * s:(k + 1) * s, :])
+
+    Lcols = [lcol(k) for k in range(s - 1)]
+    for c in range(c0, c1):
+        off = (c - c0) * s
+        hcol = DF(Hflat.hi[off:off + s, :], Hflat.lo[off:off + s, :])
+        v = dfm.mul(dfm.mul(cvec, hcol), getrow(cvec, c))
+        rows = []
+        for k in range(s):
+            xk = getrow(v, k)
+            rows.append(xk)
+            if k < s - 1:
+                v = dfm.sub(v, dfm.mul(Lcols[k], xk))
+        w_hi_ref[off:off + s, :] = jnp.concatenate(
+            [r.hi for r in rows], axis=0
+        )
+        w_lo_ref[off:off + s, :] = jnp.concatenate(
+            [r.lo for r in rows], axis=0
+        )
+
+
+def _nd_tsolve_kernel(s: int, i0: int, i1: int, w_hi_ref, w_lo_ref,
+                      l_hi_ref, l_lo_ref, isc_hi_ref, isc_lo_ref,
+                      k_hi_ref, k_lo_ref):
+    """Stage 3: K[i0:i1, :] = S^{-1} (Lu^{-1} W^T)^T S^{-1} row chunk.
+
+    Row i of W is gathered as s strided (1, B) slices (W is stored
+    column-major flat), solved through Lu, and scaled.  The i loop is
+    independent across chunks, bounding the per-program size.
+    """
+    inv_scale_vec = DF(isc_hi_ref[:, :], isc_lo_ref[:, :])
+
+    def getrow(x: DF, i) -> DF:
+        return DF(x.hi[i:i + 1, :], x.lo[i:i + 1, :])
+
+    def lcol(k) -> DF:
+        return DF(l_hi_ref[k * s:(k + 1) * s, :], l_lo_ref[k * s:(k + 1) * s, :])
+
+    Lcols = [lcol(k) for k in range(s - 1)]
+    for i in range(i0, i1):
+        v = DF(
+            jnp.concatenate(
+                [w_hi_ref[c * s + i:c * s + i + 1, :] for c in range(s)], axis=0
+            ),
+            jnp.concatenate(
+                [w_lo_ref[c * s + i:c * s + i + 1, :] for c in range(s)], axis=0
+            ),
+        )
+        rows = []
+        for k in range(s):
+            xk = getrow(v, k)
+            rows.append(xk)
+            if k < s - 1:
+                v = dfm.sub(v, dfm.mul(Lcols[k], xk))
+        krow = DF(
+            jnp.concatenate([r.hi for r in rows], axis=0),
+            jnp.concatenate([r.lo for r in rows], axis=0),
+        )
+        krow = dfm.mul(
+            dfm.mul(krow, getrow(inv_scale_vec, i)), inv_scale_vec
+        )
+        off = (i - i0) * s
+        k_hi_ref[off:off + s, :] = krow.hi
+        k_lo_ref[off:off + s, :] = krow.lo
+
+
+def _nd_cvec_kernel(s: int, ms_hi_ref, ms_lo_ref, ohdiag_ref,
+                    c_hi_ref, c_lo_ref):
+    """Equilibration vector c_j = 1/sqrt(G_jj) for the panelled LDL."""
+    diag = DF(
+        jax.lax.dot(ohdiag_ref[:, :], ms_hi_ref[:, :],
+                    precision=jax.lax.Precision.HIGHEST),
+        jax.lax.dot(ohdiag_ref[:, :], ms_lo_ref[:, :],
+                    precision=jax.lax.Precision.HIGHEST),
+    )
+    diag = dfm.where(diag.hi <= jnp.float32(1e-30), dfm.df(1.0), diag)
+    cvec = dfm.div(dfm.df(1.0), dfm.sqrt(diag))
+    c_hi_ref[:, :] = cvec.hi
+    c_lo_ref[:, :] = cvec.lo
+
+
+def _nd_ldl_panel_kernel(s: int, j0: int, j1: int, ms_hi_ref, ms_lo_ref,
+                         oh_ref, c_hi_ref, c_lo_ref,
+                         lprev_hi_ref, lprev_lo_ref,
+                         dprev_hi_ref, dprev_lo_ref,
+                         l_hi_ref, l_lo_ref, d_hi_ref, d_lo_ref,
+                         isc_hi_ref, isc_lo_ref):
+    """Left-looking LDL panel: factor columns [j0, j1) given columns
+    < j0 (``lprev``/``dprev``).
+
+    The single-program LDL compiles up to s = 36 but crashes the
+    remote Mosaic compiler at s = 45; the column loop is sequential,
+    so unlike the solves it cannot be chunked independently — instead
+    each panel program applies the *left-looking* update (every k < j
+    contribution, reading the already-factored columns from HBM) and
+    factors only its own panel, bounding the per-program unroll to
+    ~(j1 - j0) * s column-ops.  ``oh_ref`` gathers only this panel's
+    Gram columns; the equilibration vector comes precomputed from
+    ``_nd_cvec_kernel``.
+    """
+    b = ms_hi_ref.shape[1]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (s, b), 0)
+    ms_hi = ms_hi_ref[:, :]
+    ms_lo = ms_lo_ref[:, :]
+    oh = oh_ref[:, :]
+    Gpan = DF(
+        jax.lax.dot(oh, ms_hi, precision=jax.lax.Precision.HIGHEST),
+        jax.lax.dot(oh, ms_lo, precision=jax.lax.Precision.HIGHEST),
+    )
+    cvec = DF(c_hi_ref[:, :], c_lo_ref[:, :])
+
+    def gcol(flat: DF, j) -> DF:
+        return DF(flat.hi[j * s:(j + 1) * s, :], flat.lo[j * s:(j + 1) * s, :])
+
+    def getrow(x: DF, i) -> DF:
+        return DF(x.hi[i:i + 1, :], x.lo[i:i + 1, :])
+
+    Lcols = [
+        DF(lprev_hi_ref[k * s:(k + 1) * s, :], lprev_lo_ref[k * s:(k + 1) * s, :])
+        for k in range(j0)
+    ]
+    dpivs = [
+        DF(dprev_hi_ref[k:k + 1, :], dprev_lo_ref[k:k + 1, :])
+        for k in range(j0)
+    ]
+
+    pivot_diag = np.float32(_PIVOT_DIAG * s)
+    for j in range(j0, j1):
+        acc = dfm.mul(dfm.mul(cvec, gcol(Gpan, j - j0)), getrow(cvec, j))
+        for k in range(j):
+            acc = dfm.sub(
+                acc, dfm.mul(Lcols[k], dfm.mul(dpivs[k], getrow(Lcols[k], j)))
+            )
+        dj = getrow(acc, j)
+        bad = dj.hi <= 0.0
+        tiny = jnp.float32(1e-35)
+        signed_tiny = DF(
+            jnp.where(dj.hi < 0.0, -tiny, tiny), jnp.zeros_like(dj.hi)
+        )
+        dj = dfm.where(jnp.abs(dj.hi) < tiny, signed_tiny, dj)
+        sq = dfm.sqrt(dfm.where(bad, dfm.df(1.0), dj))
+        scale_j = DF(jnp.where(bad, pivot_diag, sq.hi),
+                     jnp.where(bad, 0.0, sq.lo))
+        inv_scale_j = dfm.div(dfm.df(1.0), scale_j)
+        cu = dfm.div(acc, dj)
+        below = row_ids > j
+        on = row_ids == j
+        cu = DF(
+            jnp.where(on, 1.0, jnp.where(below, cu.hi, 0.0)),
+            jnp.where(on, 0.0, jnp.where(below, cu.lo, 0.0)),
+        )
+        Lcols.append(cu)
+        dpivs.append(dj)
+        off = (j - j0)
+        l_hi_ref[off * s:(off + 1) * s, :] = cu.hi
+        l_lo_ref[off * s:(off + 1) * s, :] = cu.lo
+        d_hi_ref[off:off + 1, :] = dj.hi
+        d_lo_ref[off:off + 1, :] = dj.lo
+        isc_hi_ref[off:off + 1, :] = inv_scale_j.hi
+        isc_lo_ref[off:off + 1, :] = inv_scale_j.lo
+
+
+# Per-program unroll budget for the staged builder's chunked stages, in
+# solve rowops.  The monolithic kernel compiles at ~3100 rowops (s=28)
+# and crashes the remote Mosaic compiler at ~5800 (s=36); 1600 leaves a
+# 2x margin below the known-good size.
+_STAGED_ROWOPS = 1600
+# Largest s for the single-program LDL stage (measured: compiles at
+# s = 36, remote Mosaic crash at s = 45); beyond it the panelled
+# left-looking LDL takes over.
+_LDL_MAX_S_SINGLE = 36
+
+
+@functools.lru_cache(maxsize=None)
+def _build_staged_kernels(s: int, z: int, block_b: int, interpret: bool):
+    f32 = jnp.float32
+    if s <= _LDL_MAX_S_SINGLE:
+        ldl = ("single", pl.pallas_call(
+            functools.partial(_nd_ldl_kernel, s),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(3)],
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(6)],
+            out_shape=[
+                jax.ShapeDtypeStruct((s * s, block_b), f32),
+                jax.ShapeDtypeStruct((s * s, block_b), f32),
+                jax.ShapeDtypeStruct((s, block_b), f32),
+                jax.ShapeDtypeStruct((s, block_b), f32),
+                jax.ShapeDtypeStruct((s, block_b), f32),
+                jax.ShapeDtypeStruct((s, block_b), f32),
+            ],
+            interpret=interpret,
+        ))
+    else:
+        cvec_call = pl.pallas_call(
+            functools.partial(_nd_cvec_kernel, s),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(3)],
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(2)],
+            out_shape=[
+                jax.ShapeDtypeStruct((s, block_b), f32) for _ in range(2)
+            ],
+            interpret=interpret,
+        )
+        # Heaviest panel does ~p * s column updates; the single-program
+        # LDL compiles at 648 updates (s = 36) and crashes at 1013
+        # (s = 45), so bound panels well below the known-good size.
+        p = max(4, 560 // s)
+        panels = []
+        for j0 in range(0, s, p):
+            j1 = min(s, j0 + p)
+            panels.append((j0, j1, pl.pallas_call(
+                functools.partial(_nd_ldl_panel_kernel, s, j0, j1),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(9)
+                ],
+                out_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(6)
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct(((j1 - j0) * s, block_b), f32),
+                    jax.ShapeDtypeStruct(((j1 - j0) * s, block_b), f32),
+                    jax.ShapeDtypeStruct((j1 - j0, block_b), f32),
+                    jax.ShapeDtypeStruct((j1 - j0, block_b), f32),
+                    jax.ShapeDtypeStruct((j1 - j0, block_b), f32),
+                    jax.ShapeDtypeStruct((j1 - j0, block_b), f32),
+                ],
+                interpret=interpret,
+            )))
+        ldl = ("panelled", cvec_call, panels)
+    cols_per = max(1, _STAGED_ROWOPS // s)
+    fsolves, tsolves = [], []
+    for c0 in range(0, s, cols_per):
+        c1 = min(s, c0 + cols_per)
+        fsolves.append((c0, c1, pl.pallas_call(
+            functools.partial(_nd_fsolve_kernel, s, c0, c1),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(7)],
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(2)],
+            out_shape=[
+                jax.ShapeDtypeStruct(((c1 - c0) * s, block_b), f32)
+                for _ in range(2)
+            ],
+            interpret=interpret,
+        )))
+        tsolves.append((c0, c1, pl.pallas_call(
+            functools.partial(_nd_tsolve_kernel, s, c0, c1),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(6)],
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(2)],
+            out_shape=[
+                jax.ShapeDtypeStruct(((c1 - c0) * s, block_b), f32)
+                for _ in range(2)
+            ],
+            interpret=interpret,
+        )))
+    return ldl, fsolves, tsolves
+
+
+def nd_k_pallas_staged(
+    ms: Array,
+    inds: np.ndarray,
+    block_b: int = 128,
+    interpret: bool = None,
+) -> Array:
+    """Staged multi-``pallas_call`` K-builder for large bases (s > 28).
+
+    Splits the monolithic ``nd_k_pallas`` program — whose traced size
+    crashes the remote Mosaic compiler at s = 36 even inside the VMEM
+    budget — into one LDL program plus per-chunk forward/transpose
+    solve programs with bounded unrolls (``_STAGED_ROWOPS``).  The
+    factor L, the equilibration vector, and the solve workspace W
+    round-trip through HBM between stages; at these sizes the extra
+    traffic is well under the compute time.  Same math, same outputs
+    as ``nd_k_pallas``.
+    """
+    if interpret is None:
+        interpret = INTERPRET
+    inds = np.asarray(inds, dtype=np.int64)
+    d, s = inds.shape[0] - 1, inds.shape[1]
+    # Largest live set in any one stage: gather + L + W + K chunk
+    # ~ 4 s^2 f32 pairs per lane (vs (4 + d) s^2 for the monolithic
+    # kernel, whose whole pipeline is live at once).
+    per_lane_bytes = 4 * s * s * 8
+    fit = int(10e6 / per_lane_bytes) // 128 * 128
+    if fit < 128:
+        raise ValueError(
+            f"nd_k_pallas_staged: d={d}, s={s} needs {per_lane_bytes} "
+            "B/lane; even the minimum 128-lane block exceeds VMEM — "
+            "use the XLA K-builder instead."
+        )
+    block_b = min(block_b, fit)
+    ms = jnp.asarray(ms)
+    in_dtype = ms.dtype
+    batch_shape = ms.shape[:-1]
+    z = ms.shape[-1]
+    B = int(np.prod(batch_shape)) if batch_shape else 1
+
+    ms2 = ms.reshape(B, z).T
+    pad = (-B) % block_b
+    if pad:
+        ms2 = jnp.concatenate([ms2, jnp.tile(ms2[:, :1], (1, pad))], axis=1)
+    Bp = B + pad
+
+    ms_df = dfm.from_f64(ms2)
+    key = tuple(int(v) for v in inds.reshape(-1))
+    oh_all = _nd_onehots(key, d, s, z)  # (d+1, s*s, z) numpy
+    oh_g = jnp.asarray(oh_all[0])
+    ldl, fsolves, tsolves = _build_staged_kernels(s, z, block_b, interpret)
+
+    outs = []
+    with dfm.barrier_mode("none" if not interpret else "xla"):
+        for s0 in range(0, Bp, block_b):
+            sl = slice(s0, s0 + block_b)
+            mh, ml = ms_df.hi[:, sl], ms_df.lo[:, sl]
+            if ldl[0] == "single":
+                l_h, l_l, c_h, c_l, i_h, i_l = ldl[1](mh, ml, oh_g)
+            else:
+                _, cvec_call, panels = ldl
+                ohdiag = jnp.asarray(
+                    oh_all[0].reshape(s, s, z)[
+                        np.arange(s), np.arange(s)
+                    ]
+                )  # (s, z): row j selects G[j, j]
+                c_h, c_l = cvec_call(mh, ml, ohdiag)
+                lparts_h, lparts_l = [], []
+                dparts_h, dparts_l = [], []
+                iparts_h, iparts_l = [], []
+                for j0, j1, call in panels:
+                    done = j0 * s
+                    zl = jnp.zeros((s * s - done, block_b), jnp.float32)
+                    lprev_h = jnp.concatenate(lparts_h + [zl], axis=0)
+                    lprev_l = jnp.concatenate(lparts_l + [zl], axis=0)
+                    zd = jnp.zeros((s - j0, block_b), jnp.float32)
+                    dprev_h = jnp.concatenate(dparts_h + [zd], axis=0)
+                    dprev_l = jnp.concatenate(dparts_l + [zd], axis=0)
+                    oh_pan = jnp.asarray(oh_all[0][j0 * s:j1 * s])
+                    ph, plo, dh, dlo, ih, ilo = call(
+                        mh, ml, oh_pan, c_h, c_l,
+                        lprev_h, lprev_l, dprev_h, dprev_l,
+                    )
+                    lparts_h.append(ph)
+                    lparts_l.append(plo)
+                    dparts_h.append(dh)
+                    dparts_l.append(dlo)
+                    iparts_h.append(ih)
+                    iparts_l.append(ilo)
+                l_h = jnp.concatenate(lparts_h, axis=0)
+                l_l = jnp.concatenate(lparts_l, axis=0)
+                i_h = jnp.concatenate(iparts_h, axis=0)
+                i_l = jnp.concatenate(iparts_l, axis=0)
+            per_dim = []
+            for m in range(d):
+                w_parts = []
+                for c0, c1, call in fsolves:
+                    oh_c = jnp.asarray(oh_all[m + 1][c0 * s:c1 * s])
+                    w_parts.append(call(mh, ml, oh_c, l_h, l_l, c_h, c_l))
+                w_h = jnp.concatenate([p[0] for p in w_parts], axis=0)
+                w_l = jnp.concatenate([p[1] for p in w_parts], axis=0)
+                k_parts = [
+                    call(w_h, w_l, l_h, l_l, i_h, i_l)
+                    for _, _, call in tsolves
+                ]
+                per_dim.append((
+                    jnp.concatenate([p[0] for p in k_parts], axis=0),
+                    jnp.concatenate([p[1] for p in k_parts], axis=0),
+                ))
+            outs.append((
+                jnp.concatenate([p[0] for p in per_dim], axis=0),
+                jnp.concatenate([p[1] for p in per_dim], axis=0),
+            ))
+    k_h = jnp.concatenate([o[0] for o in outs], axis=1)[:, :B]
+    k_l = jnp.concatenate([o[1] for o in outs], axis=1)[:, :B]
+    Ks = dfm.to_f64(DF(k_h, k_l)).astype(in_dtype)
+    Ks = Ks.T.reshape(batch_shape + (d, s, s))
+    return 0.5 * (Ks + jnp.swapaxes(Ks, -1, -2))
+
+
 @functools.lru_cache(maxsize=None)
 def _nd_onehots(inds_key, d: int, s: int, z: int):
     inds = np.asarray(inds_key, dtype=np.int64).reshape(d + 1, s, s)

@@ -29,9 +29,41 @@ def main():
                         "(skipped when the artifact is absent)")
     args = p.parse_args()
 
+    # Summary fallback (VERDICT r04 item 7): render from the per-N
+    # aggregates in SUMMARY_convergence.json when the raw .npz
+    # artifacts have not been regenerated on a TPU host.
+    import json
+
+    summary_rows = {}
+    spath = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "experiments",
+        "SUMMARY_convergence.json")
+    if os.path.exists(spath):
+        with open(spath) as f:
+            for r in json.load(f).get("rows", []):
+                if r.get("N") is not None and r.get("mode") == args.mode:
+                    summary_rows[r["N"]] = r
+                elif r.get("nparticles") is not None:
+                    summary_rows[("pf", r["nparticles"])] = r
+
     rows = []
     for N in args.Ns:
-        data = common.load("convergence", f"mf_N{N}_{args.mode}_s{args.seed}")
+        data = common.maybe_load(
+            "convergence", f"mf_N{N}_{args.mode}_s{args.seed}"
+        )
+        if data is None and N in summary_rows:
+            s = summary_rows[N]
+            rows.append(dict(
+                N=N, divergent=s["divergent"],
+                abs_mean_err=s["abs_mean_err"],
+                abs_var_err=s["abs_var_err"], gauss_kl=s["gauss_kl"],
+            ))
+            print(rows[-1])
+            continue
+        if data is None:
+            raise FileNotFoundError(
+                f"no convergence artifact or SUMMARY row for N={N}"
+            )
         means, variances = np.asarray(data["means"]), np.asarray(data["variances"])
         kf_m, kf_v = np.asarray(data["kf_m"]), np.asarray(data["kf_v"])
         _, ndiv = common.rm_divergent(means.T)
@@ -55,6 +87,13 @@ def main():
         try:
             data = common.load("convergence", f"pf_{npart}_s{args.seed}")
         except FileNotFoundError:
+            s = summary_rows.get(("pf", npart))
+            if s is not None:
+                pf_rows.append(dict(
+                    nparticles=npart,
+                    abs_mean_err=s["abs_mean_err"],
+                    gauss_kl=s["gauss_kl"],
+                ))
             continue
         m, v = np.asarray(data["means"]), np.asarray(data["variances"])
         fin = np.asarray(data["finite"])

@@ -72,9 +72,13 @@ def test_dispatch_1d_order_gate(monkeypatch):
     assert dispatch.resolve_impl_1d(32, 512) == "pallas"  # measured good
     assert dispatch.resolve_impl_1d(33, 4096) == "refined"  # gated
     assert dispatch.resolve_impl_1d(64, 4096) == "refined"
-    # the ND gate still mirrors the measured s-boundary
+    # the ND gate: monolithic to s=28, staged builder to s=45 (both
+    # measured), refined beyond
     assert dispatch.resolve_impl_nd(28, 256) == "pallas"
-    assert dispatch.resolve_impl_nd(36, 256) == "refined"
+    assert dispatch.resolve_impl_nd(36, 256) == "pallas"  # staged range
+    assert dispatch.resolve_impl_nd(45, 256) == "pallas"
+    assert dispatch.resolve_impl_nd(46, 256) == "refined"
+    assert dispatch.resolve_impl_nd(66, 256) == "refined"  # 2D N=11
 
 
 def test_bootstrap_remat_chunk_unchanged_forward():

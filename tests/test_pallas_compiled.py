@@ -224,3 +224,40 @@ def test_filter_quad_jitter_kwarg(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(nell1), np.asarray(nell0), rtol=1e-4
     )
+
+
+def test_staged_k_builder_interpret(monkeypatch):
+    """Staged multi-call K-builder == monolithic kernel, including the
+    panelled left-looking LDL and chunked solves (production triggers
+    are s > 28 / s > 36; forced here at s = 6 so interpret mode stays
+    cheap)."""
+    import numpy as _np
+
+    from mfs_tpu.multi_dims.multi_indices import (
+        generate_graded_lexico_multi_indices,
+        gram_and_hankel_indices_graded_lexico,
+    )
+    from mfs_tpu.multi_dims.moments import raw_moments_mvn_kan_all
+
+    monkeypatch.setattr(pqnd, "_LDL_MAX_S_SINGLE", 4)   # force panels
+    monkeypatch.setattr(pqnd, "_STAGED_ROWOPS", 12)     # force chunking
+    pqnd._build_staged_kernels.cache_clear()
+    try:
+        N, d, B = 3, 2, 4
+        mis = generate_graded_lexico_multi_indices(d, 2 * N - 1)
+        inds = gram_and_hankel_indices_graded_lexico(N, d)
+        rng = _np.random.RandomState(0)
+        cov = _np.eye(d) * 0.5 + 0.1
+        ms1 = raw_moments_mvn_kan_all(jnp.zeros(d), jnp.asarray(cov), mis)
+        ms = jnp.broadcast_to(ms1, (B,) + ms1.shape) * (
+            1.0 + 0.01 * jnp.asarray(rng.rand(B))[:, None]
+        )
+        K_staged = pqnd.nd_k_pallas_staged(
+            ms, inds, block_b=8, interpret=True
+        )
+        K_mono = pqnd.nd_k_pallas(ms, inds, block_b=8, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(K_staged), np.asarray(K_mono), rtol=0, atol=1e-12
+        )
+    finally:
+        pqnd._build_staged_kernels.cache_clear()
