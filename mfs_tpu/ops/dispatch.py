@@ -103,4 +103,11 @@ def resolve_impl_nd(
         return "pallas" if batch >= _MIN_BATCH_PALLAS_ND else "refined"
     if (4 + d) * s * s * 8 * 128 > _ND_VMEM_BUDGET:
         return "refined"  # K-builder's minimum block cannot fit VMEM
+    if d >= 3 and s < 10:
+        # Measured (3D Lotka-Volterra, T=200, B=64, SUMMARY_lotka_
+        # volterra_3d.json): at d=3 s=4 the fused kernel loses to
+        # refined 2.6x (4.6 vs 1.7 s) — the tiny eigenproblems cannot
+        # amortise the d^2-growing VMEM-capped lane blocks — while at
+        # d=3 s=10 it wins 1.22x (19.1 vs 23.3 s).
+        return "refined"
     return "pallas" if batch >= _MIN_BATCH_PALLAS_ND else "refined"

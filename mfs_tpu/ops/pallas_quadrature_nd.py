@@ -1038,6 +1038,17 @@ def nd_eigh_pallas(
             f"fused N-D kernel supports s <= {MAX_S} (got s = {s}); "
             "use the XLA path"
         )
+    # Scoped-VMEM lane cap.  Measured: every d=2, s<=10 program runs at
+    # 512 lanes, but the d=3, s=10 program OOMs the 16 MB scoped VMEM
+    # at 512 lanes — the compiler reported 42.75 MB, i.e. ~83.5 KB per
+    # lane (the Jacobi eigen stage keeps d (s, s) operand/rotation sets
+    # live).  Anchor the estimate at that measurement, scale by d*s^2,
+    # and shrink the block to fit a 14 MB budget (floor one 128-lane
+    # block, which fits: 128 x 83.5 KB = 10.7 MB).
+    if d >= 3:
+        per_lane = 83.5e3 * (d / 3.0) * (s * s / 100.0)
+        fit = max(128, int(14e6 / per_lane) // 128 * 128)
+        block_b = min(block_b, fit)
     ms = jnp.asarray(ms)
     in_dtype = ms.dtype
     batch_shape = ms.shape[:-1]

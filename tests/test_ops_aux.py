@@ -79,6 +79,9 @@ def test_dispatch_1d_order_gate(monkeypatch):
     assert dispatch.resolve_impl_nd(45, 256) == "pallas"
     assert dispatch.resolve_impl_nd(46, 256) == "refined"
     assert dispatch.resolve_impl_nd(66, 256) == "refined"  # 2D N=11
+    # d=3: tiny bases lose to refined (measured), s=10 wins
+    assert dispatch.resolve_impl_nd(4, 64, d=3) == "refined"
+    assert dispatch.resolve_impl_nd(10, 64, d=3) == "pallas"
 
 
 def test_bootstrap_remat_chunk_unchanged_forward():
