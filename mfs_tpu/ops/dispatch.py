@@ -56,10 +56,11 @@ _ND_VMEM_BUDGET = 10e6
 # not memory, is the boundary.  Above it the STAGED multi-pallas_call
 # builder (panelled left-looking LDL + chunked solves,
 # ``nd_k_pallas_staged``) takes over: measured to compile and beat
-# refined at s = 36 (1.23-1.27x) and s = 45 (1.2x) — the reference's
-# GPU regime (2D N = 9).  s > 45 is unmeasured compile territory.
+# refined at s = 36 (1.23-1.27x), s = 45 (1.2x), and s = 66 (1.14x,
+# 2D N = 11) — the reference's whole GPU sweep.  s > 66 is unmeasured
+# compile territory (the staged VMEM wall is ~s = 79 at 128 lanes).
 _ND_MAX_S_PALLAS = 28        # monolithic program boundary
-_ND_MAX_S_PALLAS_STAGED = 45  # staged-builder measured boundary
+_ND_MAX_S_PALLAS_STAGED = 66  # staged-builder measured boundary
 
 
 def _default_platform() -> str:
@@ -97,8 +98,10 @@ def resolve_impl_nd(
     if s > _ND_MAX_S_PALLAS_STAGED:
         return "refined"  # beyond the staged builder's measured range
     if s > _ND_MAX_S_PALLAS:
-        # staged builder: largest per-stage live set ~4 s^2 DF pairs
-        if 4 * s * s * 8 * 128 > _ND_VMEM_BUDGET:
+        # staged builder: largest per-stage live set ~2.5 s^2 DF pairs
+        # (the transpose solve holds L + W + a K chunk; measured good
+        # at s = 66 / 128 lanes)
+        if int(2.5 * s * s * 8) * 128 > 14e6:
             return "refined"
         return "pallas" if batch >= _MIN_BATCH_PALLAS_ND else "refined"
     if (4 + d) * s * s * 8 * 128 > _ND_VMEM_BUDGET:

@@ -767,11 +767,14 @@ def nd_k_pallas_staged(
         interpret = INTERPRET
     inds = np.asarray(inds, dtype=np.int64)
     d, s = inds.shape[0] - 1, inds.shape[1]
-    # Largest live set in any one stage: gather + L + W + K chunk
-    # ~ 4 s^2 f32 pairs per lane (vs (4 + d) s^2 for the monolithic
-    # kernel, whose whole pipeline is live at once).
-    per_lane_bytes = 4 * s * s * 8
-    fit = int(10e6 / per_lane_bytes) // 128 * 128
+    # Largest live set in any one stage: the transpose solve holds the
+    # full L and W plus a K chunk ~ 2.5 s^2 f32 pairs per lane (vs
+    # (4 + d) s^2 for the monolithic kernel, whose whole pipeline is
+    # live at once).  Measured: s = 66 (2D N = 11) compiles and runs
+    # at the 128-lane floor (predicted 11.1 MB of the 16 MB scoped
+    # budget; K vs host-f64 3.7e-12).
+    per_lane_bytes = int(2.5 * s * s * 8)
+    fit = int(14e6 / per_lane_bytes) // 128 * 128
     if fit < 128:
         raise ValueError(
             f"nd_k_pallas_staged: d={d}, s={s} needs {per_lane_bytes} "

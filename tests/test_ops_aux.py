@@ -77,8 +77,8 @@ def test_dispatch_1d_order_gate(monkeypatch):
     assert dispatch.resolve_impl_nd(28, 256) == "pallas"
     assert dispatch.resolve_impl_nd(36, 256) == "pallas"  # staged range
     assert dispatch.resolve_impl_nd(45, 256) == "pallas"
-    assert dispatch.resolve_impl_nd(46, 256) == "refined"
-    assert dispatch.resolve_impl_nd(66, 256) == "refined"  # 2D N=11
+    assert dispatch.resolve_impl_nd(66, 256) == "pallas"  # 2D N=11
+    assert dispatch.resolve_impl_nd(67, 256) == "refined"  # unmeasured
     # d=3: tiny bases lose to refined (measured), s=10 wins
     assert dispatch.resolve_impl_nd(4, 64, d=3) == "refined"
     assert dispatch.resolve_impl_nd(10, 64, d=3) == "pallas"
